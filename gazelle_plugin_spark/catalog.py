@@ -1,0 +1,49 @@
+"""Table catalog for the driver-generated test data (TESTDATA.md).
+
+Parquet scan is the engine's primary source (reference:
+arrow-data-source ArrowDataSourceV2 reads parquet/orc/csv through
+Arrow Dataset; SURVEY.md §2.1). Spark's vectorized parquet reader is
+the direct analog: columnar batches, predicate pushdown, column
+pruning — verified by tests/test_sources.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+
+EXTENSION_TABLES = ("events", "documents", "embeddings")
+
+ALL_TABLES = TPCH_TABLES + EXTENSION_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
+) -> dict[str, DataFrame]:
+    """Load the synthetic tables as DataFrames (lazy scans)."""
+    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
+) -> None:
+    """Register each table as a temp view for ``spark.sql`` entry."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

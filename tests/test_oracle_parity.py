@@ -1,0 +1,23 @@
+"""The correctness gate, locally: every registered query with an
+oracle must match DuckDB exactly at sf0.01 (the driver's comparison
+scale). Queries without an oracle get a rows>=0 smoke run."""
+
+from __future__ import annotations
+
+import pytest
+
+from gazelle_plugin_spark.plans import all_oracles, all_queries
+from tests.compare import assert_same
+from tests.conftest import SF_MED
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    df = QUERIES[name](spark, SF_MED)
+    if name in ORACLES:
+        assert_same(df, duck.sql(ORACLES[name]), name)
+    else:
+        assert df.count() >= 0
