@@ -31,7 +31,10 @@ def intersect_all(left: DataFrame, right: DataFrame) -> DataFrame:
 
 
 def except_(left: DataFrame, right: DataFrame) -> DataFrame:
-    return left.exceptAll(right).distinct()
+    """EXCEPT DISTINCT: rows of left not present in right, deduped.
+    (`exceptAll().distinct()` would be wrong: with left=[x,x],
+    right=[x] it keeps x, but EXCEPT must drop it.)"""
+    return left.subtract(right)
 
 
 def except_all(left: DataFrame, right: DataFrame) -> DataFrame:

@@ -505,8 +505,8 @@ def q11(spark, sf_dir):
     "q12",
     oracle="""
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey AND l_returnflag IN ('A', 'R')
   AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -878,7 +878,8 @@ FROM (
     AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal)
                      FROM customer
                      WHERE c_acctbal > 0.00 AND CAST(c_nationkey % 5 AS VARCHAR) IN ('0', '1', '2'))
-    AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey)
+    AND NOT EXISTS (SELECT * FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 ) custsale
 GROUP BY cntrycode
 ORDER BY cntrycode
@@ -886,10 +887,12 @@ ORDER BY cntrycode
 )
 def q22(spark, sf_dir):
     """Global sales opportunity (tpch/q22.sql; phone country code
-    re-targeted to c_nationkey % 5). Scalar AVG subquery + NOT EXISTS
-    anti join + final agg."""
+    re-targeted to c_nationkey % 5; NOT EXISTS re-targeted to urgent
+    orders — the synthetic data gives every customer >=1 order, which
+    made the original anti join vacuously empty). Scalar AVG subquery
+    + NOT EXISTS anti join + final agg."""
     customer = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     cntrycode = (F.col("c_nationkey") % 5).cast("string")
     in_set = cntrycode.isin("0", "1", "2")
     avg_bal = (

@@ -32,6 +32,14 @@ def assert_same(spark_df, duck_rel, name: str = "query") -> None:
         f"{name}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"
     )
     assert len(a) == len(b), f"{name}: row count spark={len(a)} duck={len(b)}"
+    # dtype-strict, mirroring the driver's value-hash: a numerically
+    # equal result with a different physical type (e.g. DuckDB HUGEINT
+    # from SUM(int) vs Spark BIGINT) must FAIL here, not only at the
+    # driver gate.
+    for c in a.columns:
+        assert a[c].dtype == b[c].dtype, (
+            f"{name}: dtype mismatch on {c!r}: spark={a[c].dtype} duck={b[c].dtype}"
+        )
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
