@@ -61,3 +61,17 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(col: str) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(12,2))) AS DOUBLE) / COUNT({col})"
+
+
+def md5h60(col: str | Column) -> Column:
+    """Deterministic cross-engine 60-bit hash: first 15 hex chars of
+    md5, as a bigint. DuckDB twin: ``sql_md5h60``. Used wherever both
+    engines must agree on hash VALUES (minhash, simhash) — Spark's
+    murmur3 ``hash()`` and DuckDB's ``hash()`` differ, md5 doesn't."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5h60(expr: str) -> str:
+    """DuckDB twin of :func:`md5h60`."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"

@@ -1,1 +1,282 @@
-"""Placeholder — populated in a later slice."""
+"""Event-stream analytics over the ``events`` table.
+
+Covers the window-function surface of the reference
+(ColumnarWindowExec.scala:176-297: sum/min/max/count over partition,
+rank, row_number, lag; frame UnboundedPreceding->CurrentRow at
+:141-150) plus GetJsonObject (ColumnarUnaryOperator.scala case,
+docs/Expressions-Compatibility.md:8-9) — re-expressed as declarative
+DataFrame plans, and extended with the sessionization pipeline a
+training-data/event system needs.
+
+Timestamp note: events.parquet stores TIMESTAMP(NANOS) which Spark's
+parquet reader rejects by default; every builder here enables
+``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable SQL conf)
+and converts ns -> us with *integer* division (float division rounds
+at the 1.7e18 ns scale). DuckDB truncates ns->us the same way, so the
+two engines see identical microsecond values.
+
+Scale notes (100 TB): every query here shuffles once on ``user_id``
+(the session/window partition key) and aggregates within the
+partition — no self-joins, no collects. A real deployment would
+pre-bucket the event log by user_id to eliminate even that shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.plans import query
+from gazelle_plugin_spark.plans._util import dec, t
+
+#: session gap threshold: 30 minutes, in microseconds
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts_us`` (bigint epoch micros) and ``ts``
+    (timestamp) columns; handles the TIMESTAMP(NANOS) parquet type."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = t(spark, sf_dir, "events")
+    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+_EVENTS_CTE = """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+  FROM events
+)
+"""
+
+
+@query(
+    "events_sessionize",
+    oracle=_EVENTS_CTE
+    + f"""
+, flagged AS (
+  SELECT user_id, ts_us, value,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, ts_us, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ts_us) - MIN(ts_us) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization: a new session starts after a >30 min
+    silence. lag + running-sum window -> per-session aggregate; the
+    stateful-streaming analog is ``streaming.sessionize`` (same
+    semantics over readStream)."""
+    e = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts_us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_json_stats",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_json_stats(spark, sf_dir):
+    """GetJsonObject parity (reference: ColumnarUnaryOperator case
+    GetJsonObject): extract a numeric field from the JSON props column
+    and aggregate per event type. Stays JVM-side — no UDF."""
+    e = events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_user_topk",
+    oracle=_EVENTS_CTE
+    + """
+SELECT user_id, event_id, value, rk FROM (
+  SELECT user_id, event_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY value DESC, event_id) AS INT) AS rk
+  FROM e
+) WHERE rk <= 3
+ORDER BY user_id, rk
+""",
+)
+def events_user_topk(spark, sf_dir):
+    """Top-3 events per user by value — the rank-limit pushdown query
+    (reference: LocalWindowExec + OptimizerOverrides.scala:39-218).
+    Spark plans WindowGroupLimit: the top-k filter runs partially
+    before the shuffle (asserted in tests/test_operators.py)."""
+    from gazelle_plugin_spark.operators.window import window_topk
+
+    e = events(spark, sf_dir)
+    return window_topk(
+        e.select("user_id", "event_id", "value"),
+        partition_by=["user_id"],
+        order_by=[F.desc("value"), F.asc("event_id")],
+        k=3,
+        rank_function="row_number",
+    ).orderBy("user_id", "rk")
+
+
+@query(
+    "events_lag_lead",
+    oracle=_EVENTS_CTE
+    + """
+SELECT user_id, event_id,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       first_value(event_type) OVER w AS first_type,
+       CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+            AS INT) AS value_rank,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type)
+            AS INT) AS type_rank
+FROM e
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, event_id
+""",
+)
+def events_lag_lead(spark, sf_dir):
+    """lag/lead/first_value/rank/dense_rank over a user-partitioned
+    ordered window (reference window function set plus the
+    dense_rank/lead/first_value it lacked — SURVEY.md §2.5)."""
+    e = events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.first("event_type").over(w).alias("first_type"),
+            F.rank()
+            .over(Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id"))
+            .alias("value_rank"),
+            F.dense_rank()
+            .over(Window.partitionBy("user_id").orderBy("event_type"))
+            .alias("type_rank"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "events_running_total",
+    oracle=_EVENTS_CTE
+    + """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value,
+       CAST(COUNT(*) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_n
+FROM e
+WHERE user_id < 10
+ORDER BY user_id, event_id
+""",
+)
+def events_running_total(spark, sf_dir):
+    """Cumulative sum/count with the UnboundedPreceding->CurrentRow
+    frame — the ONLY frame the reference accepted
+    (ColumnarWindowExec.scala:141-150). Decimal-exact running sum so
+    the hash is addition-order independent."""
+    e = events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.sum(dec("value")).over(w).cast("double").alias("running_value"),
+            F.count(F.lit(1)).over(w).alias("running_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "events_hourly",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_hourly(spark, sf_dir):
+    """Time-bucketed rollup (hypertable-style continuous aggregate):
+    truncate to the hour, aggregate per (hour, type). At scale this is
+    the map-side-combinable shape — partial aggs shrink the shuffle to
+    |hours|x|types| rows."""
+    e = events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )

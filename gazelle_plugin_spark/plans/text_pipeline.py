@@ -1,1 +1,350 @@
-"""Placeholder — populated in a later slice."""
+"""Text / LLM-training-data pipeline over the ``documents`` table.
+
+Beyond-reference surface (the reference has no text pipeline; SURVEY.md
+§7 design stance item 6): deduplication (exact + banded MinHash-LSH),
+document fingerprinting (SimHash), token/quality statistics, and an
+n-gram language-ID heuristic — all as declarative DataFrame plans with
+DuckDB oracles.
+
+Cross-engine determinism: every hash is :func:`~._util.md5h60` (md5 →
+60-bit int), identical in Spark and DuckDB; ratios are int/int double
+divisions (exact in IEEE754 both sides).
+
+Scale notes (100 TB):
+- Exact dedup is one hash-groupBy — the canonical map-side-combinable
+  shape.
+- MinHash dedup NEVER does an all-pairs join: candidates come from a
+  self-equi-join on (band, band-signature) — the shuffle key is the
+  band signature, so cost is sum of bucket^2, not n^2. Verification
+  joins shingles only for candidate pairs.
+- SimHash / quality / lang-ID are per-row expression pipelines (no
+  shuffle at all before the final small aggregate) and run entirely in
+  whole-stage codegen — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.plans import query
+from gazelle_plugin_spark.plans._util import md5h60, sql_md5h60, t
+
+#: MinHash configuration: 8 signatures in 4 bands of 2 rows.
+#: P(candidate) = 1-(1-j^2)^4 — ~0.99 at j=0.8, ~0.06 at j=0.2.
+N_HASHES = 8
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.8
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per doc (docs with <3 tokens are
+    skipped — guarded because Spark's sequence(1, n) runs DOWNWARD for
+    n < 1 instead of returning empty)."""
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 2),"
+                        " i -> concat_ws(' ', slice(w, i, 3)))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+
+
+#: DuckDB twin of _shingles (distinct 3-gram shingles per doc).
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3) toks,
+       UNNEST(generate_series(1, len(w) - 2)) AS i(i)
+"""
+
+
+@query(
+    "doc_text_stats",
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def doc_text_stats(spark, sf_dir):
+    """Corpus statistics per (lang, source): doc counts, char and
+    whitespace-token totals. One map-side-combinable aggregation."""
+    d = _tokens(spark, sf_dir)
+    n_tok = F.size("w").cast("long")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum(n_tok).alias("total_tokens"),
+            (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY canonical_id
+""",
+)
+def doc_exact_dedup(spark, sf_dir):
+    """Exact deduplication: hash-groupBy on md5(text); the minimum
+    doc_id in each group is the canonical copy. At 100 TB this is one
+    shuffle keyed on the 128-bit hash — no sort, no pairwise compare."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+@query(
+    "doc_quality",
+    oracle="""
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_tokens,
+       CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+       CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+         / len(w) AS stopword_ratio,
+       CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_token_len
+FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+ORDER BY doc_id
+""",
+)
+def doc_quality(spark, sf_dir):
+    """Per-document quality scores: token counts, type-token ratio,
+    stopword ratio, mean token length — the standard cheap filters for
+    LLM training-data curation. Pure per-row expressions (whole-stage
+    codegen, zero shuffles)."""
+    d = _tokens(spark, sf_dir)
+    n = F.size("w")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x)))
+    return (
+        d.select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("w")).cast("long").alias("n_uniq_tokens"),
+            (F.size(F.array_distinct("w")).cast("double") / n).alias("type_token_ratio"),
+            (n_stop.cast("double") / n).alias("stopword_ratio"),
+            ((F.length("text") - (n - 1)).cast("double") / n).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+SELECT lang,
+       CASE WHEN CAST(len(list_filter(w, x -> list_contains(
+                 ['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(w) >= 0.05
+            THEN 'en' ELSE 'other' END AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def doc_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-ratio scoring, the unigram
+    special case of n-gram profiling) + confusion matrix against the
+    labeled lang column. The synthetic corpus shares one vocabulary
+    across langs, so this demonstrates the operator shape rather than
+    real discrimination."""
+    d = _tokens(spark, sf_dir)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    ratio = F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size("w")
+    predicted = F.when(ratio >= 0.05, "en").otherwise("other")
+    return (
+        d.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature: mh_i = min over shingles of
+    md5h60(shingle || '#i')."""
+    sh = _shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5h60(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+
+
+_SQL_MINHASH = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"MIN({sql_md5h60(f''' s || '#{i}' ''')}) AS mh{i}" for i in range(N_HASHES)
+    )
+    + f" FROM ({_SQL_SHINGLES}) sh GROUP BY doc_id"
+)
+
+_SQL_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, mh{2 * j} AS b1, mh{2 * j + 1} AS b2 FROM mh"
+    for j in range(N_BANDS)
+)
+
+
+@query(
+    "doc_minhash_neardup",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+mh AS ({_SQL_MINHASH}),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2 AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+  GROUP BY c.d1, c.d2
+)
+SELECT d1, d2, CAST(i AS DOUBLE) / (n1.n + n2.n - i) AS jaccard
+FROM inter
+JOIN sizes n1 ON d1 = n1.doc_id
+JOIN sizes n2 ON d2 = n2.doc_id
+WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+""",
+)
+def doc_minhash_neardup(spark, sf_dir):
+    """Near-duplicate detection: MinHash + LSH banding + in-bucket
+    verification.
+
+    tokenize -> 3-gram shingles -> 8 minhashes -> 4 bands -> self
+    equi-join on the band signature -> exact Jaccard on candidates only
+    -> keep >= 0.8. There is NO all-pairs comparison anywhere: the
+    candidate join shuffles on the band signature (bucket join), and
+    verification joins shingles only for candidate docs."""
+    sh = _shingles(spark, sf_dir)
+    mh = _minhash_sig(spark, sf_dir)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.col(f"mh{ROWS_PER_BAND * j}").alias("b1"),
+                F.col(f"mh{ROWS_PER_BAND * j + 1}").alias("b2"),
+            )
+            for j in range(N_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band", "b.b1", "b.b2"
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.b1") == F.col("y.b1"))
+            & (F.col("x.b2") == F.col("y.b2"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    left = sh.select(F.col("doc_id").alias("d1"), F.col("s").alias("ls"))
+    right = sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("rs"))
+    inter = (
+        cand.join(left, "d1")
+        .join(right, (cand.d2 == right.d2) & (F.col("ls") == F.col("rs")))
+        .groupBy(cand.d1, cand.d2)
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+@query(
+    "doc_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 100
+),
+h AS (SELECT doc_id, {sql_md5h60("tok")} AS hv FROM toks),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM h, UNNEST(generate_series(0, 59)) AS b(b)
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def doc_simhash(spark, sf_dir):
+    """60-bit SimHash fingerprint per document (token-frequency
+    weighted majority vote per bit). Computed entirely as nested array
+    expressions — per-row, zero shuffles, no UDF: near-dup docs get
+    fingerprints within a small Hamming distance, so at scale dedup
+    groups by a few fingerprint prefixes."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    simhash = F.expr(
+        """
+        aggregate(sequence(0, 59), 0L, (acc, b) -> acc + if(
+          aggregate(
+            transform(split(text, ' '),
+                      t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+            0L,
+            (a, h) -> a + if((h div shiftleft(1L, b)) % 2 = 1, 1L, -1L)
+          ) > 0, shiftleft(1L, b), 0L))
+        """
+    )
+    return d.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
