@@ -1,1 +1,286 @@
-"""Placeholder — populated in a later slice."""
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding FLOAT[64], label).
+
+Beyond-reference surface (SURVEY.md §7 item 6): approximate-nearest-
+neighbor search over an embedding column — brute-force cosine top-k as
+the correctness baseline, a sign-LSH bucketed variant as the scale
+path, and IVF-style centroid assignment.
+
+Float determinism: dot products are computed as double-precision
+folds over the arrays in BOTH engines (float32 x float32 products are
+exact in double), and every similarity is rounded to 6 decimals
+before ranking/output — addition-order noise is ~1e-14, far below the
+rounding quantum, so Spark and DuckDB rank identically.
+
+Scale notes (100 TB / billions of vectors):
+- brute-force top-k broadcasts the BOUNDED query set (here 5 vectors)
+  and streams the corpus once — linear, no shuffle of the corpus; it
+  is the oracle for recall, not the production path.
+- the LSH variant buckets by 4x 4-bit sign-bands (hyperplanes = 16
+  fixed corpus vectors, deterministic), joins query and corpus on the
+  band key, and only scores in-bucket candidates — cost is
+  sum-of-bucket-sizes, never all-pairs.
+- centroid assignment is the IVF building block: k centroids (one per
+  label here) broadcast to every vector; at scale the probe searches
+  only the nearest centroid's bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.plans import query
+from gazelle_plugin_spark.plans._util import t
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+N_BANDS = 4
+BITS_PER_BAND = 4
+SIM_DECIMALS = 6
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Double-precision dot product of two float arrays, folded in
+    array order (cast-before-multiply keeps each product exact)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_dot`."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> x[1]::DOUBLE * x[2]::DOUBLE))"
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + precomputed squared norm."""
+    v = t(spark, sf_dir, "embeddings")
+    return v.withColumn("n2", _dot("embedding", "embedding"))
+
+
+_SQL_VECTORS = f"""
+  SELECT vec_id, label, embedding,
+         {_sql_dot('embedding', 'embedding')} AS n2
+  FROM embeddings
+"""
+
+
+@query(
+    "emb_topk_cosine",
+    oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+q AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM v
+      WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         ROUND({_sql_dot('q.qe', 'v.embedding')}
+               / sqrt(q.qn2 * v.n2), {SIM_DECIMALS}) AS cos_sim
+  FROM q JOIN v ON v.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+""",
+)
+def emb_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-{TOP_K}: the exact-recall baseline. The
+    query set is broadcast (bounded), the corpus streams once; ranking
+    reuses the WindowGroupLimit top-k path."""
+    v = _vectors(spark, sf_dir)
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    cos = F.round(
+        _dot("qe", "embedding") / F.sqrt(F.col("qn2") * F.col("n2")), SIM_DECIMALS
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("q_id", "rk")
+    )
+
+
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, band, sig): 4-bit sign signature per band, hyperplanes
+    = the first 16 corpus vectors (deterministic, data-derived)."""
+    v = _vectors(spark, sf_dir)
+    hyper = (
+        v.filter(F.col("vec_id") < N_BANDS * BITS_PER_BAND)
+        .select(F.col("vec_id").alias("h_id"), F.col("embedding").alias("he"))
+    )
+    bits = (
+        v.join(F.broadcast(hyper))
+        .select(
+            "vec_id",
+            F.expr(f"cast(h_id div {BITS_PER_BAND} as int)").alias("band"),
+            F.pmod(F.col("h_id"), F.lit(BITS_PER_BAND)).cast("int").alias("pos"),
+            F.when(_dot("embedding", "he") >= 0, 1).otherwise(0).alias("bit"),
+        )
+    )
+    return bits.groupBy("vec_id", "band").agg(
+        F.sum(F.col("bit") * F.expr("shiftleft(1, pos)")).alias("sig")
+    )
+
+
+_SQL_BANDS = f"""
+  SELECT v.vec_id,
+         CAST(h.vec_id // {BITS_PER_BAND} AS INT) AS band,
+         CAST(SUM(CASE WHEN {_sql_dot('v.embedding', 'h.embedding')} >= 0
+                  THEN (1 << (h.vec_id % {BITS_PER_BAND})) ELSE 0 END) AS BIGINT)
+           AS sig
+  FROM v JOIN v h ON h.vec_id < {N_BANDS * BITS_PER_BAND}
+  GROUP BY v.vec_id, h.vec_id // {BITS_PER_BAND}
+"""
+
+
+@query(
+    "emb_lsh_topk",
+    oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+bands AS ({_SQL_BANDS}),
+q AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM v
+      WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
+  FROM bands qb JOIN bands cb
+    ON qb.band = cb.band AND qb.sig = cb.sig AND qb.vec_id <> cb.vec_id
+  WHERE qb.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         ROUND({_sql_dot('q.qe', 'v.embedding')}
+               / sqrt(q.qn2 * v.n2), {SIM_DECIMALS}) AS cos_sim
+  FROM cand c JOIN q ON c.q_id = q.q_id JOIN v ON c.vec_id = v.vec_id
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+""",
+)
+def emb_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-{TOP_K}: sign-LSH signatures (4 bands x 4
+    bits, hyperplanes = 16 fixed corpus vectors), candidates = vectors
+    sharing any band signature with the query, cosine scored only
+    in-bucket. The scale path: the corpus-side join key is (band,
+    sig) — sum-of-bucket-sizes work, never all-pairs."""
+    v = _vectors(spark, sf_dir)
+    bands = _bands(spark, sf_dir)
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("band").alias("qband"),
+        F.col("sig").alias("qsig"),
+    )
+    cand = (
+        bands.join(
+            F.broadcast(qb),
+            (F.col("band") == F.col("qband"))
+            & (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+                F.col("n2").alias("qn2"))
+    )
+    cos = F.round(
+        _dot("qe", "embedding") / F.sqrt(F.col("qn2") * F.col("n2")), SIM_DECIMALS
+    )
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(v, "vec_id")
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("q_id", "rk")
+    )
+
+
+@query(
+    "emb_centroid_assign",
+    oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+dims AS (
+  SELECT label, i.i AS i, AVG(embedding[i.i]::DOUBLE) AS c
+  FROM v, UNNEST(generate_series(1, 64)) AS i(i)
+  GROUP BY label, i.i
+),
+cent AS (
+  SELECT label AS c_label, array_agg(ROUND(c, {SIM_DECIMALS}) ORDER BY i) AS ce
+  FROM dims GROUP BY label
+),
+scored AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         ROUND({_sql_dot('v.embedding', 'c.ce')}
+               / sqrt(v.n2 * {_sql_dot('c.ce', 'c.ce')}), {SIM_DECIMALS}) AS cos_sim
+  FROM v CROSS JOIN cent c
+),
+best AS (
+  SELECT vec_id, label, c_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cos_sim DESC, c_label) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT label, c_label AS nearest_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM best GROUP BY label, c_label
+ORDER BY label, nearest_label
+""",
+)
+def emb_centroid_assign(spark, sf_dir):
+    """IVF building block: per-label centroids (coordinate-wise mean,
+    rounded for cross-engine determinism), each vector assigned to its
+    nearest centroid by cosine; output the label-vs-nearest-centroid
+    confusion counts. At scale the centroid set is tiny and broadcast;
+    assignment is one linear pass."""
+    v = _vectors(spark, sf_dir)
+    dims = v.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), SIM_DECIMALS).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pc, p -> p.c)").alias("ce"),
+        )
+    )
+    cos = F.round(
+        _dot("embedding", "ce") / F.sqrt(F.col("n2") * _dot("ce", "ce")),
+        SIM_DECIMALS,
+    )
+    scored = v.join(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", cos.alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "c_label")
+    best = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.groupBy("label", F.col("c_label").alias("nearest_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "nearest_label")
+    )

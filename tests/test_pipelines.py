@@ -1,0 +1,57 @@
+"""Quality gates for the LLM-data-pipeline queries: scale-shape plan
+assertions (no all-pairs joins) and ANN recall against the brute-force
+baseline."""
+
+from __future__ import annotations
+
+from gazelle_plugin_spark.plans import all_queries
+from tests.conftest import SF_MED
+
+QUERIES = all_queries()
+
+
+def _plan(spark, name):
+    return (
+        QUERIES[name](spark, SF_MED)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_minhash_dedup_no_all_pairs(spark):
+    """The near-dup candidate join must be a bucketed equi-join on the
+    band signature — never a cartesian/all-pairs comparison."""
+    plan = _plan(spark, "doc_minhash_neardup")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lsh_topk_no_cartesian(spark):
+    """LSH candidate generation joins on (band, sig). The only
+    nested-loop allowed is the broadcast of the 16 bounded hyperplane
+    vectors for signature computation."""
+    plan = _plan(spark, "emb_lsh_topk")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """Exact dedup is one hash aggregate over md5(text) — no join."""
+    plan = _plan(spark, "doc_exact_dedup")
+    assert "Join" not in plan, plan
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """The ANN path must actually find neighbors: recall@10 against
+    the exact baseline. 4 bands x 4 bits on 64-dim random vectors
+    lands ~0.5; the bound is a regression tripwire, not a target."""
+    bf = {(r.q_id, r.vec_id) for r in QUERIES["emb_topk_cosine"](spark, SF_MED).collect()}
+    lsh = {(r.q_id, r.vec_id) for r in QUERIES["emb_lsh_topk"](spark, SF_MED).collect()}
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.3, f"LSH recall@10 collapsed: {recall}"
+
+
+def test_minhash_finds_planted_neardups(spark):
+    """The synthetic corpus plants near-duplicate documents; the
+    banded MinHash pipeline must surface them (>= 10 verified pairs at
+    sf0.01) with high verified Jaccard."""
+    rows = QUERIES["doc_minhash_neardup"](spark, SF_MED).collect()
+    assert len(rows) >= 10
+    assert all(r.jaccard >= 0.8 for r in rows)
