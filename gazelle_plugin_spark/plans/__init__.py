@@ -45,6 +45,7 @@ def load_all() -> None:
         events,
         text_pipeline,
         similarity_queries,
+        multimodal,
     )
 
 

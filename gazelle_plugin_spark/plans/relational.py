@@ -1,1 +1,389 @@
-"""Placeholder — populated in a later slice."""
+"""Relational operator queries: set operations, grouping-set
+expansion, join variants, and the aggregate-function sweep.
+
+These exercise the ``operators/`` package against DuckDB oracles:
+set-ops (ColumnarUnionExec, ColumnarBasicPhysicalOperators.scala:296 +
+Spark's lowering of INTERSECT/EXCEPT to semi/anti joins), rollup/cube/
+grouping sets (ColumnarExpandExec.scala:37), null-aware anti join
+(ColumnarOverrides.scala:260 ``nullAware``), existence join
+(ColumnarSortMergeJoinExec.scala:208-213), explicit SMJ/SHJ strategy
+selection (StrategyOverrides.scala:39-78), cross join (row-fallback in
+the reference, docs/operators.md:22-23), and the full aggregate action
+set incl. min/max/stddev/min_by (actions_impl.cc factories).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.operators import aggregates, joins, setops
+from gazelle_plugin_spark.plans import query
+from gazelle_plugin_spark.plans._util import dec, disc_price, sql_dsum, t, SQL_DISC_PRICE
+
+
+@query(
+    "rel_rollup",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+)
+def rel_rollup(spark, sf_dir):
+    """ROLLUP (flag, status) with grouping_id — the Expand+Aggregate
+    lowering (ColumnarExpandExec parity)."""
+    li = t(spark, sf_dir, "lineitem")
+    out = aggregates.rollup_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(disc_price()).cast("double").alias("revenue"),
+        ],
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "gid", "n", "revenue"
+    ).orderBy("gid", "l_returnflag", "l_linestatus")
+
+
+@query(
+    "rel_cube",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY gid, o_orderpriority, o_orderstatus
+""",
+)
+def rel_cube(spark, sf_dir):
+    """CUBE (priority, status) — all four grouping combinations."""
+    o = t(spark, sf_dir, "orders")
+    out = aggregates.cube_aggregate(
+        o,
+        ["o_orderpriority", "o_orderstatus"],
+        [
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        ],
+    )
+    return out.select(
+        "o_orderpriority", "o_orderstatus", "gid", "n", "total"
+    ).orderBy("gid", "o_orderpriority", "o_orderstatus")
+
+
+@query(
+    "rel_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum("CAST(l_quantity AS DECIMAL(12,2))")} AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def rel_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((flag), (status))."""
+    li = t(spark, sf_dir, "lineitem")
+    out = aggregates.grouping_sets_aggregate(
+        li,
+        [["l_returnflag"], ["l_linestatus"]],
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity")).cast("double").alias("qty"),
+        ],
+    )
+    return out.orderBy(
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
+    )
+
+
+def _cust_nations(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+
+
+def _supp_nations(spark, sf_dir):
+    return t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+
+
+@query(
+    "rel_union_all",
+    oracle="""
+SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk FROM supplier
+) GROUP BY nk ORDER BY nk
+""",
+)
+def rel_union_all(spark, sf_dir):
+    """UNION ALL (ColumnarUnionExec parity: pure concatenation, no
+    shuffle) + count per key."""
+    u = setops.union_all(_cust_nations(spark, sf_dir), _supp_nations(spark, sf_dir))
+    return u.groupBy("nk").agg(F.count(F.lit(1)).alias("n")).orderBy("nk")
+
+
+@query(
+    "rel_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer
+UNION
+SELECT s_nationkey AS nk FROM supplier
+ORDER BY nk
+""",
+)
+def rel_union_distinct(spark, sf_dir):
+    return setops.union_distinct(
+        _cust_nations(spark, sf_dir), _supp_nations(spark, sf_dir)
+    ).orderBy("nk")
+
+
+@query(
+    "rel_intersect",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer WHERE c_acctbal < 0
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0
+ORDER BY nk
+""",
+)
+def rel_intersect(spark, sf_dir):
+    """INTERSECT DISTINCT — Spark lowers to left-semi join + dedup,
+    hitting the same join machinery as the reference."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return setops.intersect(
+        c.select(F.col("c_nationkey").alias("nk")),
+        s.select(F.col("s_nationkey").alias("nk")),
+    ).orderBy("nk")
+
+
+@query(
+    "rel_except",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0
+ORDER BY nk
+""",
+)
+def rel_except(spark, sf_dir):
+    """EXCEPT DISTINCT (left-anti + dedup lowering)."""
+    c = _cust_nations(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return setops.except_(c, s).orderBy("nk")
+
+
+@query(
+    "rel_intersect_all",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer WHERE c_custkey < 100
+INTERSECT ALL
+SELECT s_nationkey AS nk FROM supplier
+ORDER BY nk
+""",
+)
+def rel_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiplicity-preserving (min of the two
+    bag counts)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    return setops.intersect_all(c, _supp_nations(spark, sf_dir)).orderBy("nk")
+
+
+@query(
+    "rel_except_all",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer WHERE c_custkey < 100
+EXCEPT ALL
+SELECT s_nationkey AS nk FROM supplier
+ORDER BY nk
+""",
+)
+def rel_except_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    return setops.except_all(c, _supp_nations(spark, sf_dir)).orderBy("nk")
+
+
+@query(
+    "rel_not_in_nullable",
+    oracle="""
+SELECT c_custkey, c_nationkey
+FROM customer
+WHERE c_custkey < 500
+  AND NULLIF(c_nationkey, 5) NOT IN
+      (SELECT s_nationkey FROM supplier WHERE s_acctbal < -500)
+ORDER BY c_custkey
+""",
+)
+def rel_not_in_nullable(spark, sf_dir):
+    """Null-aware anti join with a NULLABLE probe key (NULLIF makes
+    nationkey 5 NULL): NOT IN drops NULL probes — the three-case
+    semantics the reference flags with ``nullAware``
+    (ColumnarOverrides.scala:260); edge cases in
+    tests/test_operators.py."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .withColumn("probe_nk", F.nullif(F.col("c_nationkey"), F.lit(5)))
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < -500)
+    out = joins.null_aware_anti_join(c, bad, "probe_nk", "s_nationkey")
+    return out.select("c_custkey", "c_nationkey").orderBy("c_custkey")
+
+
+@query(
+    "rel_exists_flag",
+    oracle="""
+SELECT has_urgent, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+FROM (
+  SELECT c_custkey, c_acctbal,
+         (EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+          OR c_acctbal > 9000) AS has_urgent
+  FROM customer
+)
+GROUP BY has_urgent ORDER BY has_urgent
+""",
+)
+def rel_exists_flag(spark, sf_dir):
+    """Existence join: EXISTS inside a disjunction — the planner can't
+    use a semi join, so it marks each row with a boolean
+    (ColumnarSortMergeJoinExec ExistenceJoin parity via the
+    existence_join operator)."""
+    c = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    marked = joins.existence_join(c, urgent, "c_custkey", "o_custkey", flag="ex")
+    return (
+        marked.withColumn("has_urgent", F.col("ex") | (F.col("c_acctbal") > 9000))
+        .groupBy("has_urgent")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("bal"),
+        )
+        .orderBy("has_urgent")
+    )
+
+
+@query(
+    "rel_smj",
+    oracle=f"""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_supp,
+       {sql_dsum("CAST(s_acctbal AS DECIMAL(12,2))")} AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def rel_smj(spark, sf_dir):
+    """Sort-merge join pinned via the MERGE hint
+    (ColumnarSortMergeJoinExec parity; plan asserted in
+    tests/test_operators.py). SMJ is the scale fallback when neither
+    side is hash-buildable."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    j = joins.sort_merge_join(s, n, s.s_nationkey == n.n_nationkey)
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(dec("s_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "rel_shj",
+    oracle="""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 5000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def rel_shj(spark, sf_dir):
+    """Shuffled-hash join pinned via the SHUFFLE_HASH hint
+    (ColumnarShuffledHashJoinExec parity — the reference's
+    StrategyOverrides forces SHJ over SMJ exactly like this)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    j = joins.shuffled_hash_join(o, c, o.o_custkey == c.c_custkey)
+    return j.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).orderBy(
+        "o_orderstatus"
+    )
+
+
+@query(
+    "rel_cross_join",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+WHERE n.n_nationkey % 5 = r.r_regionkey
+ORDER BY r_name, n_name
+""",
+)
+def rel_cross_join(spark, sf_dir):
+    """Cross join of two bounded dims + residual filter — the
+    reference leaves CartesianProduct row-based
+    (docs/operators.md:22-23); here it's a 5x25 BNLJ, safe because
+    both sides are bounded."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    out = joins.cross_join(r, n, F.pmod(n.n_nationkey, F.lit(5)) == r.r_regionkey)
+    return out.select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@query(
+    "rel_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       arg_min(l_suppkey, l_orderkey * 16 + l_linenumber) AS first_supp
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def rel_agg_stats(spark, sf_dir):
+    """Aggregate action sweep: min/max/stddev_samp/count-distinct +
+    a DETERMINISTIC first (min_by on a unique ordinal — Spark's
+    ``first`` is order-dependent, the reference's FirstPartial/Final
+    actions had the same hazard). stddev rounded: Welford vs naive
+    last-ulp."""
+    li = t(spark, sf_dir, "lineitem")
+    ordinal = F.col("l_orderkey") * 16 + F.col("l_linenumber")
+    return (
+        aggregates.hash_aggregate(
+            li,
+            ["l_returnflag"],
+            [
+                F.min("l_quantity").alias("min_qty"),
+                F.max("l_quantity").alias("max_qty"),
+                F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+                F.countDistinct("l_suppkey").alias("n_supp"),
+                F.min_by("l_suppkey", ordinal).alias("first_supp"),
+            ],
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,47 @@
+"""Vectorized UDF registry tests: registration, SQL callability,
+known values, and the Arrow (not row-at-a-time) eval plan."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.functions import register_builtin_udfs
+
+
+@pytest.fixture(scope="module")
+def udfs(spark):
+    return register_builtin_udfs(spark)
+
+
+def test_url_decode_round_trip(spark, udfs):
+    df = spark.createDataFrame([("a b/c?d=e",), ("naçao",)], "s string")
+    df.createOrReplaceTempView("udf_t")
+    out = spark.sql("SELECT url_decode(url_encode(s)) AS r FROM udf_t").collect()
+    assert [r.r for r in out] == ["a b/c?d=e", "nação".replace("ção", "çao")]
+
+
+def test_text_entropy_known_values(spark, udfs):
+    df = spark.createDataFrame([("aaaa",), ("ab",), ("abcd",)], "s string")
+    out = df.select(F.expr("text_entropy(s)").alias("e")).collect()
+    assert [round(r.e, 10) for r in out] == [0.0, 1.0, 2.0]
+
+
+def test_geo_mean_grouped_agg(spark, udfs):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 4.0), ("a", 16.0), ("b", 9.0)], "g string, x double"
+    )
+    out = {r.g: r.gm for r in df.groupBy("g").agg(F.expr("geo_mean(x)").alias("gm")).collect()}
+    assert math.isclose(out["a"], 4.0, rel_tol=1e-12)
+    assert math.isclose(out["b"], 9.0, rel_tol=1e-12)
+
+
+def test_udf_plan_is_arrow_vectorized(spark, udfs):
+    df = spark.createDataFrame([("x",)], "s string").select(
+        F.expr("text_entropy(s)").alias("e")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

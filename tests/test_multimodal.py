@@ -1,0 +1,60 @@
+"""Multimodal plumbing tests: blob attachment schema, mapInPandas
+feature extraction verified against a plain-Python oracle, the decode
+stub contract, and the frame-sample explosion."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.operators.multimodal import (
+    attach_blob,
+    decode_image,
+    extract_byte_features,
+    sample_frames,
+)
+from gazelle_plugin_spark.plans._util import t
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def docs(spark):
+    return t(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 20)
+
+
+def test_attach_blob_schema(docs):
+    d = attach_blob(docs)
+    types = dict(d.dtypes)
+    assert types["blob"] == "binary"
+    assert types["media_meta"].startswith("struct<mime:string,n_bytes:int")
+
+
+def test_byte_features_match_python(docs):
+    got = {
+        r.doc_id: (r.n_bytes, r.mean_byte, r.n_distinct_bytes, r.head_byte)
+        for r in extract_byte_features(attach_blob(docs)).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        arr = np.frombuffer(row.text.encode(), dtype=np.uint8)
+        expected = (arr.size, float(arr.mean()), int(np.unique(arr).size), int(arr[0]))
+        assert got[row.doc_id] == expected
+
+
+def test_decode_image_is_clearly_stubbed(docs):
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(attach_blob(docs))
+
+
+def test_sample_frames_explodes(docs):
+    d = attach_blob(docs)
+    out = sample_frames(d, every_n=100)
+    rows = out.select("doc_id", "frame_offset", "frame_chunk").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for row in docs.select("doc_id", "text").collect():
+        n_frames = len(range(0, len(row.text.encode()), 100))
+        assert len(by_doc[row.doc_id]) == n_frames
+        first = min(by_doc[row.doc_id], key=lambda r: r.frame_offset)
+        assert bytes(first.frame_chunk) == row.text.encode()[:16]

@@ -150,6 +150,18 @@ def test_hash_aggregate_global_and_grouped(spark):
     ]
 
 
+def test_join_strategy_hints(spark):
+    """The SMJ/SHJ wrappers must actually pin the physical strategy
+    (the session profile prefers hash joins, so SMJ only appears when
+    hinted — StrategyOverrides.scala:39-78 analog, inverted)."""
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    right = spark.range(0, 500).withColumnRenamed("id", "k")
+    smj = joins.sort_merge_join(left, right, "k")
+    assert "SortMergeJoin" in smj._jdf.queryExecution().executedPlan().toString()
+    shj = joins.shuffled_hash_join(left, right, "k")
+    assert "ShuffledHashJoin" in shj._jdf.queryExecution().executedPlan().toString()
+
+
 # --------------------------------------------------------------- window
 
 def test_window_topk_plan_has_window_group_limit(spark):

@@ -1,0 +1,68 @@
+"""Source/sink/cache verification (SURVEY.md §2.1 parity):
+parquet/ORC/CSV round-trips (ArrowUtils.scala:212-218 read formats +
+ArrowFileFormat write path), scan pushdown plan assertions
+(ArrowFilters.scala:28-48 analog is Catalyst+parquet pushdown), and
+the columnar cache (ColumnarInMemoryTableScanExec.scala:31 analog).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.sources import read, write, cache_columnar
+from gazelle_plugin_spark.catalog import table_path
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def sample(spark):
+    return (
+        read(spark, table_path(SF_SMALL, "nation"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_round_trip(spark, sample, tmp_path, fmt):
+    target = str(tmp_path / f"rt.{fmt}")
+    write(sample, target, fmt=fmt)
+    schema = "n_nationkey bigint, n_name string, n_regionkey int" if fmt in ("csv", "json") else None
+    back = read(spark, target, fmt=fmt, schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, sample.collect()))
+
+
+def test_partitioned_write_prunes(spark, sample, tmp_path):
+    target = str(tmp_path / "part.parquet")
+    write(sample, target, partition_by=["n_regionkey"])
+    back = read(spark, target).filter(F.col("n_regionkey") == 2)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter must land in the scan, not a post-filter
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan, plan
+    assert back.count() == sample.filter("n_regionkey = 2").count()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = read(spark, table_path(SF_SMALL, "lineitem")).filter(
+        F.col("l_quantity") < 5
+    ).select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = read(spark, table_path(SF_SMALL, "lineitem")).select("l_orderkey", "l_tax")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_tax:double>" in plan, plan
+
+
+def test_columnar_cache_round_trip(spark, sample):
+    cached = cache_columnar(sample)
+    try:
+        first = cached.count()
+        plan = cached._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        assert cached.count() == first == 25
+    finally:
+        cached.unpersist()
