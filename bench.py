@@ -2,57 +2,117 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Modes:
+  python bench.py [names...]            engine session (tuned profile)
+  python bench.py --vanilla [names...]  default-conf Spark session
+  python bench.py --compare [names...]  engine then vanilla; the JSON
+      gains "vanilla_total" and "geomean_speedup_vs_vanilla" so the
+      BASELINE.md within-2x-of-vanilla gate is measured, not presumed.
+
+The headline set is the 22 TPC-H-derived queries (matching
+BENCH_r01.json and the reference's Decision Support Benchmark1);
+extension queries run through the same harness when named explicitly.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
+
+
+def _run_queries(spark, names, queries, sf_dir) -> dict[str, float]:
+    # warm the JVM + parquet footer caches once with the cheapest query
+    queries["q6"](spark, sf_dir).collect()
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+    return timings
+
+
+def _engine_session(cpus: str):
+    from gazelle_plugin_spark import get_spark
+
+    return get_spark(
+        app_name="gazelle-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+
+def _vanilla_session(cpus: str):
+    """Stock Spark: no engine confs, default shuffle partitions (200),
+    default ANSI/broadcast/AQE settings — the BASELINE.md comparator.
+    (UTC timezone only, for result identity.)"""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("vanilla-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    from gazelle_plugin_spark import get_spark
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    compare = "--compare" in args
+    args = [a for a in args if not a.startswith("--")]
+
     from gazelle_plugin_spark.plans import all_queries
 
-    spark = get_spark(
-        app_name="gazelle-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
     queries = all_queries()
-    names = sys.argv[1:] or sorted(queries)
-
-    # warm the JVM + parquet footer caches once with the cheapest query
-    queries["q6"](spark, sf_dir).collect()
-
-    timings: dict[str, float] = {}
-    for name in names:
-        start = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        rows = df.collect()
-        timings[name] = round(time.perf_counter() - start, 4)
-        del rows
+    default_names = sorted(n for n in queries if n.startswith("q"))
+    names = args or default_names
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
-    spark.stop()
+    result = {
+        "metric": "total_query_wall_time",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if vanilla:
+        spark = _vanilla_session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        timings = _run_queries(spark, names, queries, sf_dir)
+        spark.stop()
+    else:
+        spark = _engine_session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        timings = _run_queries(spark, names, queries, sf_dir)
+        spark.stop()
+        if compare:
+            # fresh subprocess: a second session in this JVM would ride
+            # JIT warm-up from the engine run and skew the comparison
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--vanilla", *names],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            vtimings = json.loads(proc.stdout.strip().splitlines()[-1])["queries"]
+            ratios = [vtimings[n] / timings[n] for n in names if timings[n] > 0]
+            result["vanilla_total"] = round(sum(vtimings.values()), 4)
+            result["vanilla_queries"] = vtimings
+            result["geomean_speedup_vs_vanilla"] = round(
+                math.exp(sum(map(math.log, ratios)) / len(ratios)), 4
+            )
+
+    result["value"] = round(sum(timings.values()), 4)
+    result["queries"] = timings
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

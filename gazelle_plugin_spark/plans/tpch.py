@@ -490,10 +490,16 @@ def q11(spark, sf_dir):
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select(F.col("l_partkey"), val.alias("val"))
     )
-    total = base.agg((F.sum("val").cast("double") * F.lit(0.001)).alias("threshold"))
+    # single pass over the fact table: aggregate to partkey once (kept
+    # as exact DECIMAL), then derive the global threshold FROM the
+    # per-key partials instead of re-scanning base (the round-1 plan
+    # evaluated base twice — a doubled fact scan+join at 100 TB)
+    per_key = base.groupBy("l_partkey").agg(F.sum("val").alias("value_dec"))
+    total = per_key.agg(
+        (F.sum("value_dec").cast("double") * F.lit(0.001)).alias("threshold")
+    )
     return (
-        base.groupBy("l_partkey")
-        .agg(F.sum("val").cast("double").alias("value"))
+        per_key.select("l_partkey", F.col("value_dec").cast("double").alias("value"))
         .join(F.broadcast(total))
         .filter(F.col("value") > F.col("threshold"))
         .select("l_partkey", "value")
@@ -684,14 +690,23 @@ def q17(spark, sf_dir):
         (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM")
     )
     lineitem = t(spark, sf_dir, "lineitem")
+    # semi-join lineitem down to the ~1% of parts that survive the
+    # filter BEFORE computing the per-part average (the round-1 plan
+    # aggregated ALL of lineitem — a full extra shuffle+agg of the
+    # fact table at 100 TB). Catalyst plans the same shape for the
+    # real correlated subquery.
+    li_f = lineitem.join(
+        F.broadcast(part.select("p_partkey")),
+        lineitem.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
     # quantities are integer-valued doubles: SUM/COUNT is exact, so
     # plain division matches the oracle bit-for-bit.
-    avg_qty = lineitem.groupBy(F.col("l_partkey").alias("ak_partkey")).agg(
+    avg_qty = li_f.groupBy(F.col("l_partkey").alias("ak_partkey")).agg(
         (F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))).alias("qty_threshold")
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(avg_qty, lineitem.l_partkey == F.col("ak_partkey"))
+        li_f.join(avg_qty, li_f.l_partkey == F.col("ak_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg((F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
