@@ -1,0 +1,184 @@
+"""Streaming pipelines over the events schema.
+
+Batch/stream duality: ``windowed_counts`` and ``sessionize`` accept
+either a batch or a streaming DataFrame — the same declarative plan
+runs under both engines (the test harness exploits this: stream via a
+file source + memory sink, compare against the batch result).
+
+Scale notes: streaming state is keyed by (window/session, user) —
+shuffle-partitioned like any groupBy; watermarks bound state size
+(late rows beyond the delay are dropped, state for closed
+windows/sessions is evicted). applyInPandasWithState state lives in
+the state store per key — keep the state struct narrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Schema of a streamed events source (ts already a timestamp — the
+#: TIMESTAMP(NANOS) parquet quirk is a batch-ingest concern;
+#: streaming sources land micros).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+SESSION_GAP = "30 minutes"
+
+
+def stream_events(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-source stream over an events directory (new files are
+    discovered per micro-batch)."""
+    return spark.readStream.format(fmt).schema(EVENTS_SCHEMA).load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate per event type — the
+    streaming twin of plans.events.events_hourly. Late rows beyond
+    ``watermark`` are dropped and window state is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = SESSION_GAP,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Declarative gap sessionization via ``session_window`` — the
+    built-in that expresses plans.events.events_sessionize for both
+    batch and streams."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+#: Output of sessionize_stateful: one row per CLOSED session.
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+#: Per-user state: open session accumulator.
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful sessionizer: fold each micro-batch's rows (in
+    ts order) into the open-session state; emit a row whenever a >gap
+    silence closes a session. The open session persists in state
+    across micro-batches."""
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n, total = state.get
+    else:
+        start_us = last_us = n = 0
+        total = 0.0
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ts_us = int(pd.Timestamp(ts).value // 1_000)
+            if n == 0:
+                start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
+            elif ts_us - last_us > _GAP_US:
+                closed.append((user_id, start_us, last_us, n, total))
+                start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
+            else:
+                last_us, n, total = ts_us, n + 1, total + float(value)
+    state.update((start_us, last_us, n, total))
+    if closed:
+        out = pd.DataFrame(
+            closed,
+            columns=["user_id", "start_us", "end_us", "n_events", "total_value"],
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "session_start": pd.to_datetime(out["start_us"], unit="us"),
+                "session_end": pd.to_datetime(out["end_us"], unit="us"),
+                "n_events": out["n_events"],
+                "total_value": out["total_value"],
+            }
+        )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful-operator sessionization via
+    applyInPandasWithState — the pattern for semantics the built-ins
+    can't express (here: the same gap rule as ``sessionize``, but with
+    arbitrary per-session logic possible in the fold). Emits CLOSED
+    sessions; the open session per user stays in the state store."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,84 @@
+"""Structured Streaming tests: file source -> memory sink, verified
+against the identical batch plan (batch/stream duality), plus the
+custom stateful sessionizer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.plans.events import events as load_events
+from gazelle_plugin_spark.streaming import (
+    sessionize,
+    sessionize_stateful,
+    stream_events,
+    windowed_counts,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Batch events table re-written as a stream-ingestible parquet
+    dir (micros timestamps, streaming column set)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events.parquet")
+    load_events(spark, SF_SMALL).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).write.parquet(path)
+    return path
+
+
+def _run_stream(spark, df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()), key=str)
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    got = _run_stream(spark, windowed_counts(stream), "wc_sink", "update")
+    batch = spark.read.parquet(events_dir)
+    expected = windowed_counts(batch)
+    assert rows(got) == rows(expected)
+
+
+def test_session_window_stream_matches_batch(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    got = _run_stream(spark, sessionize(stream), "sw_sink", "complete")
+    batch = spark.read.parquet(events_dir)
+    expected = sessionize(batch)
+    assert rows(got) == rows(expected)
+
+
+def test_stateful_sessionize_closed_sessions(spark, events_dir):
+    """applyInPandasWithState emits exactly the CLOSED sessions: every
+    batch session except each user's final (still-open) one."""
+    stream = stream_events(spark, events_dir)
+    got = _run_stream(
+        spark, sessionize_stateful(stream), "ss_sink", "append"
+    ).select("user_id", "session_start", "n_events", "total_value")
+
+    batch = spark.read.parquet(events_dir)
+    all_sessions = sessionize(batch).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+        ),
+    )
+    expected = all_sessions.filter(F.col("rk") > 1).select(
+        "user_id", "session_start", "n_events", "total_value"
+    )
+    got_r = {(r.user_id, r.session_start, r.n_events, round(r.total_value, 6)) for r in got.collect()}
+    exp_r = {(r.user_id, r.session_start, r.n_events, round(r.total_value, 6)) for r in expected.collect()}
+    assert got_r == exp_r
