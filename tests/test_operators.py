@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from gazelle_plugin_spark.operators import aggregates, joins, setops, window
+from gazelle_plugin_spark.operators import aggregates, exchange, joins, projection, setops, window
+# the package re-exports the `sort` *function*, which shadows the
+# module attribute — go through sys.modules for the module itself
+from importlib import import_module
+
+sort_ops = import_module("gazelle_plugin_spark.operators.sort")
 
 
 def rows(df):
@@ -148,6 +153,57 @@ def test_hash_aggregate_global_and_grouped(spark):
         (1, 3.0),
         (2, 6.0),
     ]
+
+
+# -------------------------------------------- exchange / sort / projection
+
+def test_exchange_partitioning_modes(spark):
+    df = spark.range(0, 1000).withColumn("k", F.pmod("id", F.lit(10)))
+    h = exchange.repartition_hash(df, 8, ["k"])
+    assert h.rdd.getNumPartitions() == 8
+    # hash partitioning co-locates: every partition holds complete keys
+    per_part = (
+        h.withColumn("p", F.spark_partition_id())
+        .groupBy("k").agg(F.countDistinct("p").alias("np")).collect()
+    )
+    assert all(r.np == 1 for r in per_part)
+    r = exchange.repartition_range(df, 4, ["id"])
+    assert r.rdd.getNumPartitions() == 4
+    # range partitioning keeps partitions order-disjoint
+    bounds = (
+        r.withColumn("p", F.spark_partition_id())
+        .groupBy("p").agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .orderBy("lo").collect()
+    )
+    for a, b in zip(bounds, bounds[1:]):
+        assert a.hi < b.lo
+    assert exchange.repartition_round_robin(df, 5).rdd.getNumPartitions() == 5
+    sp = exchange.single_partition(df)
+    assert sp.rdd.getNumPartitions() == 1
+    assert sp.count() == 1000
+
+
+def test_sort_limit_topk(spark):
+    df = spark.range(0, 100).withColumn("v", F.pmod(F.col("id") * 37, F.lit(100)))
+    top = sort_ops.top_k(df, [F.desc("v"), F.asc("id")], 5).collect()
+    assert [r.v for r in top] == sorted({i * 37 % 100 for i in range(100)}, reverse=True)[:5]
+    plan = sort_ops.top_k(df, [F.desc("v")], 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert sort_ops.limit(df, 7).count() == 7
+    ordered = sort_ops.sort(df, ["v"]).collect()
+    assert [r.v for r in ordered] == sorted(r.v for r in ordered)
+    local = sort_ops.sort_within_partitions(exchange.repartition_hash(df, 4, ["v"]), ["v"])
+    assert "Exchange" not in local._jdf.queryExecution().executedPlan().toString().split("Sort")[0]
+
+
+def test_condition_project(spark):
+    df = spark.createDataFrame([(1, 2.0), (5, 3.0)], "a int, b double")
+    out = projection.condition_project(
+        df, F.col("a") > 2, {"a2": F.col("a") * 2, "b": F.col("b")}
+    )
+    assert rows(out) == [(10, 3.0)]
+    out2 = projection.coalesce_partitions(spark.range(100).repartition(8), 2)
+    assert out2.rdd.getNumPartitions() == 2
 
 
 def test_join_strategy_hints(spark):
