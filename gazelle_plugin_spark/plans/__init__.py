@@ -40,6 +40,7 @@ def load_all() -> None:
     """Import all plan modules so their @query registrations run."""
     from gazelle_plugin_spark.plans import (  # noqa: F401
         tpch,
+        ssb,
         relational,
         expressions,
         events,

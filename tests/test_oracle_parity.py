@@ -21,3 +21,11 @@ def test_query_matches_oracle(name, spark, duck):
         assert_same(df, duck.sql(ORACLES[name]), name)
     else:
         assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_not_vacuous(name, duck):
+    """A 0-row result passes the hash gate while verifying nothing
+    (round-1 q22 lesson) — every oracled query must be non-empty at
+    the comparison scale."""
+    assert len(duck.sql(ORACLES[name]).fetchall()) >= 1, f"{name} is vacuous at sf0.01"
