@@ -1,0 +1,88 @@
+"""Plan-quality regression sweep over EVERY registered query.
+
+The scale gate in test form: a refactor that silently turns a bucketed
+join into a cartesian product, drops a broadcast, or loses scan
+pushdown should fail here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.plans import all_queries
+from gazelle_plugin_spark.plans._util import t
+from tests.conftest import SF_SMALL
+
+QUERIES = all_queries()
+
+#: Queries where a BroadcastNestedLoopJoin is the intended plan: a
+#: BOUNDED broadcast side (query vectors, 16 hyperplanes, 5x25 dims)
+#: joined under a non-equi condition.
+BNLJ_ALLOWED = {
+    "emb_topk_cosine",
+    "emb_lsh_topk",
+    "emb_centroid_assign",
+    "rel_cross_join",
+    # scalar-subquery pattern: a 1-row aggregate (global threshold /
+    # average / NAAJ stats) broadcast against the main branch
+    "q11",
+    "q22",
+    "rel_not_in_nullable",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unbounded_all_pairs(name, spark):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an unexpected nested-loop join"
+        )
+
+
+@pytest.mark.parametrize("name", ["q3", "q5", "q9", "ssb2_1", "ssb4_1"])
+def test_dims_are_broadcast(name, spark):
+    """Star-join queries must broadcast their dimension sides — a lost
+    broadcast becomes a fact-table shuffle at scale."""
+    assert "BroadcastHashJoin" in _plan(spark, name), name
+
+
+@pytest.mark.parametrize(
+    "name", ["q6", "q14", "q19", "ssb1_1", "events_user_topk", "doc_quality"]
+)
+def test_scan_level_pruning(name, spark):
+    """Filter or column pruning must reach the scan node."""
+    plan = _plan(spark, name)
+    assert "PushedFilters: [" in plan or "ReadSchema: struct<" in plan, name
+
+
+def test_q6_pushes_predicates_to_parquet(spark):
+    """q6 is pure scan+filter+agg: its shipdate/discount/quantity
+    predicates must appear in PushedFilters, not only post-scan."""
+    plan = _plan(spark, "q6")
+    assert "PushedFilters: [IsNotNull" in plan, plan
+    scan_part = plan[plan.index("PushedFilters") :]
+    assert "l_discount" in scan_part.split("ReadSchema")[0], plan
+
+
+def test_filter_before_join_in_star_queries(spark):
+    """Dim filters must run before the join (filter-then-broadcast,
+    not broadcast-then-filter): the broadcast side row count at 100 TB
+    is the filtered one."""
+    li = t(spark, SF_SMALL, "lineitem")
+    p = t(spark, SF_SMALL, "part").filter(F.col("p_type") == "MEDIUM")
+    plan = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the part-side scan itself carries the pushed filter
+    assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,MEDIUM)" in plan, plan
