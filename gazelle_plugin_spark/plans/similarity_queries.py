@@ -221,6 +221,65 @@ def emb_lsh_topk(spark, sf_dir):
     )
 
 
+#: emb_neardup_pairs verify threshold (the synthetic corpus has no
+#: planted near-identical vectors — max pairwise cosine is ~0.51 — so
+#: the threshold marks "suspiciously similar", exercising the same
+#: bucket-then-verify pipeline a 0.95-threshold dedup would use).
+NEARDUP_COS = 0.35
+
+
+@query(
+    "emb_neardup_pairs",
+    oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+bands AS ({_SQL_BANDS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT v1, v2, cos_sim FROM (
+  SELECT c.v1, c.v2,
+         ROUND({_sql_dot('va.embedding', 'vb.embedding')}
+               / sqrt(va.n2 * vb.n2), {SIM_DECIMALS}) AS cos_sim
+  FROM cand c JOIN v va ON c.v1 = va.vec_id JOIN v vb ON c.v2 = vb.vec_id
+) WHERE cos_sim >= {NEARDUP_COS}
+ORDER BY v1, v2
+""",
+)
+def emb_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection: sign-LSH bucket join
+    over the WHOLE corpus (not just the query set), cosine verify only
+    in-bucket. The fourth dedup family (after exact / MinHash /
+    SimHash): candidate cost is sum-of-bucket-sizes^2 over 16-bit
+    signatures, never all-pairs."""
+    v = _vectors(spark, sf_dir)
+    bands = _bands(spark, sf_dir)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("v1"), F.col("y.vec_id").alias("v2"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"),
+                  F.col("n2").alias("na"))
+    vb = v.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"),
+                  F.col("n2").alias("nb"))
+    cos = F.round(_dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), SIM_DECIMALS)
+    return (
+        cand.join(va, "v1")
+        .join(vb, "v2")
+        .select("v1", "v2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+        .orderBy("v1", "v2")
+    )
+
+
 @query(
     "emb_centroid_assign",
     oracle=f"""

@@ -309,6 +309,112 @@ def doc_minhash_neardup(spark, sf_dir):
     )
 
 
+#: Spark expression computing the 60-bit SimHash of `text` (token-
+#: frequency weighted majority vote per bit; cross-engine md5 hashes).
+_SIMHASH_EXPR = """
+aggregate(sequence(0, 59), 0L, (acc, b) -> acc + if(
+  aggregate(
+    transform(split(text, ' '),
+              t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+    0L,
+    (a, h) -> a + if((h div shiftleft(1L, b)) % 2 = 1, 1L, -1L)
+  ) > 0, shiftleft(1L, b), 0L))
+"""
+
+_SQL_SIMHASH = f"""
+  WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+  h AS (SELECT doc_id, {sql_md5h60("tok")} AS hv FROM toks),
+  bits AS (
+    SELECT doc_id, b.b AS b,
+           SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+    FROM h, UNNEST(generate_series(0, 59)) AS b(b)
+    GROUP BY doc_id, b.b
+  )
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS s
+  FROM bits GROUP BY doc_id
+"""
+
+#: SimHash near-dup: 4 bands x 15 bits, Hamming verify threshold.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+HAMMING_THRESHOLD = 6
+
+
+@query(
+    "doc_simhash_neardup",
+    oracle=f"""
+WITH sh AS ({_SQL_SIMHASH}),
+bands AS (
+  SELECT doc_id, j.j AS band,
+         (s >> (j.j * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1} AS sig,
+         s
+  FROM sh, UNNEST(generate_series(0, {SIMHASH_BANDS - 1})) AS j(j)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.s AS s1, b.s AS s2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= {HAMMING_THRESHOLD}
+ORDER BY d1, d2
+""",
+)
+def doc_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate detection: fingerprint -> band-bucketed
+    candidate join -> Hamming-distance verify.
+
+    The third dedup family (exact hash, MinHash-Jaccard, SimHash-
+    Hamming): fingerprints are computed per-row with zero shuffles,
+    candidates come from a self-equi-join on 15-bit fingerprint bands
+    (a <=3-bit-flip pair ALWAYS shares a clean band; more distant
+    pairs probabilistically), and only candidates pay the bit_count
+    verify. No all-pairs comparison (plan-gated)."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.expr(_SIMHASH_EXPR).alias("s"))
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.expr(
+                    f"(s div shiftleft(1L, {j * SIMHASH_BAND_BITS}))"
+                    f" % {1 << SIMHASH_BAND_BITS}"
+                ).alias("sig"),
+            )
+            for j in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sh.select("doc_id", "s", F.explode(band_arr).alias("b")).select(
+        "doc_id", "s", "b.band", "b.sig"
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.col("x.s").alias("s1"),
+            F.col("y.s").alias("s2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    return (
+        cand.select("d1", "d2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
 @query(
     "doc_simhash",
     oracle=f"""

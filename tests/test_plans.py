@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "emb_topk_cosine",
     "emb_lsh_topk",
     "emb_centroid_assign",
+    "emb_neardup_pairs",
     "rel_cross_join",
     # scalar-subquery pattern: a 1-row aggregate (global threshold /
     # average / NAAJ stats) broadcast against the main branch
