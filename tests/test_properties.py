@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for the trickiest operator
+semantics. The reference had no randomized testing (SURVEY.md §5);
+these target exactly the semantics it flagged as hard: null-aware
+anti join, bag set-ops, and the exact-decimal aggregation convention.
+
+Example counts are small — each example runs Spark jobs."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.operators import joins, setops
+from gazelle_plugin_spark.plans._util import dec
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+small_ints = st.lists(st.one_of(st.none(), st.integers(0, 6)), max_size=12)
+
+
+@SETTINGS
+@given(left=small_ints, right=small_ints)
+def test_null_aware_anti_matches_not_in_semantics(spark, left, right):
+    """null_aware_anti_join == SQL three-valued NOT IN, for any
+    combination of nulls/duplicates/emptiness on either side."""
+    ldf = spark.createDataFrame([(v,) for v in left] or [(None,)], "k int")
+    if not left:
+        ldf = ldf.limit(0)
+    rdf = spark.createDataFrame([(v,) for v in right] or [(None,)], "rk int")
+    if not right:
+        rdf = rdf.limit(0)
+    got = sorted(
+        (r.k for r in joins.null_aware_anti_join(ldf, rdf, "k", "rk").collect()),
+        key=lambda v: (v is None, v),
+    )
+    if not right:
+        expected = left
+    elif any(v is None for v in right):
+        expected = []
+    else:
+        rset = set(right)
+        expected = [v for v in left if v is not None and v not in rset]
+    assert got == sorted(expected, key=lambda v: (v is None, v))
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.integers(0, 4), max_size=10),
+    right=st.lists(st.integers(0, 4), max_size=10),
+)
+def test_bag_setops_multiset_semantics(spark, left, right):
+    """EXCEPT ALL = bag difference, INTERSECT ALL = bag minimum,
+    EXCEPT = set difference — against a Python multiset oracle."""
+    from collections import Counter
+
+    ldf = spark.createDataFrame([(v,) for v in left] or [(0,)], "x int")
+    rdf = spark.createDataFrame([(v,) for v in right] or [(0,)], "x int")
+    if not left:
+        ldf = ldf.limit(0)
+    if not right:
+        rdf = rdf.limit(0)
+    lc, rc = Counter(left), Counter(right)
+    assert sorted(r.x for r in setops.except_all(ldf, rdf).collect()) == sorted(
+        (lc - rc).elements()
+    )
+    assert sorted(r.x for r in setops.intersect_all(ldf, rdf).collect()) == sorted(
+        (lc & rc).elements()
+    )
+    assert sorted(r.x for r in setops.except_(ldf, rdf).collect()) == sorted(
+        set(left) - set(right)
+    )
+
+
+@SETTINGS
+@given(
+    values=st.lists(
+        st.decimals(
+            min_value=Decimal("-99999.99"),
+            max_value=Decimal("99999.99"),
+            places=2,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_decimal_sum_convention_is_exact(spark, values):
+    """The money-sum convention (cast to DECIMAL(12,2), SUM, cast back
+    to double) equals the exact Decimal sum regardless of row order or
+    partitioning — the property the oracle hash depends on."""
+    doubles = [float(v) for v in values]
+    df = spark.createDataFrame([(v,) for v in doubles], "x double").repartition(4)
+    got = df.agg(F.sum(dec("x")).cast("double").alias("s")).collect()[0].s
+    expected = float(sum(Decimal(f"{v:.2f}") for v in doubles))
+    assert got == expected
