@@ -252,6 +252,39 @@ def events_running_total(spark, sf_dir):
 
 
 @query(
+    "events_time_parts",
+    oracle="""
+SELECT event_id,
+       CAST(hour(ts) AS INT) AS hh,
+       CAST(minute(ts) AS INT) AS mi,
+       CAST(second(ts) AS INT) AS ss,
+       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_s,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_start
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+)
+def events_time_parts(spark, sf_dir):
+    """Sub-day datetime expression parity — hour/minute/second/
+    unix-seconds/format/minute-truncation need a timestamp with a time
+    component, which only events.ts has (orders dates are midnight).
+    Completes the ColumnarDateTimeExpressions sweep
+    (ColumnarDateTimeExpressions.scala:60-801) started in
+    plans/expressions.py."""
+    e = events(spark, sf_dir).filter(F.col("event_id") < 300)
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.hour(ts).alias("hh"),
+        F.minute(ts).alias("mi"),
+        F.second(ts).alias("ss"),
+        F.expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000").alias("epoch_s"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("fmt"),
+        F.date_trunc("minute", ts).alias("minute_start"),
+    ).orderBy("event_id")
+
+
+@query(
     "events_hourly",
     oracle="""
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

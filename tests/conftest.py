@@ -11,8 +11,16 @@ SF_MED = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="gazelle-tests", master="local[8]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    s = get_spark(
+        app_name="gazelle-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_confs={
+            # managed-table warehouse (bucketed-table tests) in tmp
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+        },
+    )
     yield s
     s.stop()
 

@@ -57,6 +57,47 @@ def test_column_pruning_reaches_scan(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_tax:double>" in plan, plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed on the join key into the same bucket count
+    -> the join plans with ZERO Exchange (the co-located-join lever,
+    SCALE.md item 2)."""
+    from gazelle_plugin_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    li = read(spark, table_path(SF_SMALL, "lineitem")).select(
+        "l_orderkey", "l_quantity"
+    )
+    o = read(spark, table_path(SF_SMALL, "orders")).select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    write_bucketed(o, "b_orders", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    bl, bo = read_bucketed(spark, "b_lineitem"), read_bucketed(spark, "b_orders")
+    joined = bl.join(
+        bo.hint("MERGE"), bl.l_orderkey == bo.o_orderkey
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert joined.count() == li.count()
+
+
+def test_bucketed_aggregation_has_no_exchange(spark):
+    """A groupBy on the bucket key also reuses the at-rest
+    partitioning — no exchange before the aggregate."""
+    from gazelle_plugin_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    li = read(spark, table_path(SF_SMALL, "lineitem")).select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(li, "b_li_agg", ["l_orderkey"], 4)
+    agg = read_bucketed(spark, "b_li_agg").groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert agg.count() == li.select("l_orderkey").distinct().count()
+
+
 def test_columnar_cache_round_trip(spark, sample):
     cached = cache_columnar(sample)
     try:
