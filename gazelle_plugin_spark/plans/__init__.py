@@ -41,6 +41,7 @@ def load_all() -> None:
     from gazelle_plugin_spark.plans import (  # noqa: F401
         tpch,
         ssb,
+        tpcds_patterns,
         relational,
         expressions,
         events,

@@ -1,0 +1,254 @@
+"""Decision Support Benchmark2 patterns (reference: README.md:37-39 —
+a 21-query modified TPC-DS set, core/src/test/resources/
+tpcds-modifiedQueries/q*.sql), retargeted to the driver's schema.
+
+The reference's DS set decomposes into a handful of physical-plan
+patterns; each query below implements one pattern and cites its
+source queries. Fact = lineitem (x orders for dates), dims =
+part/supplier/nation as in plans/ssb.py.
+
+- ds_brand_month   <- q3/q42/q52/q55: star join + month filter + top-k
+- ds_rollup_star   <- q27: rollup aggregate over a multi-dim star join
+- ds_window_dev    <- q53/q63: per-group revenue vs window average,
+                     keep deviating groups
+- ds_week_compare  <- q59: week-over-week self-join of weekly partials
+- ds_rev_fraction  <- q65: keep suppliers under a fraction of the
+                     per-part window max
+
+Float discipline matches the engine convention: window sums go
+through exact decimals; ratios are single double divisions of
+identical inputs, rounded before filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.plans import query
+from gazelle_plugin_spark.plans._util import SQL_DISC_PRICE, disc_price, sql_dsum, t
+
+
+@query(
+    "ds_brand_month",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS d_year, p_brand,
+       {sql_dsum(SQL_DISC_PRICE)} AS sum_agg
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size = 10 AND month(o_orderdate) = 12
+GROUP BY year(o_orderdate), p_brand
+ORDER BY sum_agg DESC, d_year, p_brand
+LIMIT 10
+""",
+)
+def ds_brand_month(spark, sf_dir):
+    """tpcds-modifiedQueries/q3.sql (also q42/q52/q55): brand revenue
+    for one month across years, top-10. Star join with both dims
+    broadcast; total ORDER so LIMIT is deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.month("o_orderdate") == 12)
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("d_year"), "p_brand")
+        .agg(F.sum(disc_price()).cast("double").alias("sum_agg"))
+        .orderBy(F.desc("sum_agg"), "d_year", "p_brand")
+        .limit(10)
+    )
+
+
+@query(
+    "ds_rollup_star",
+    oracle=f"""
+SELECT n_name, p_type,
+       CAST(GROUPING(n_name, p_type) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum("CAST(l_quantity AS DECIMAL(12,2))")} AS qty,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (5, 10, 15)
+GROUP BY ROLLUP (n_name, p_type)
+ORDER BY gid, n_name, p_type
+""",
+)
+def ds_rollup_star(spark, sf_dir):
+    """tpcds-modifiedQueries/q27.sql pattern: rollup aggregate over a
+    3-dim star join (nation x part-type hierarchy)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size").isin(5, 10, 15))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .rollup("n_name", "p_type")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+            F.sum(disc_price()).cast("double").alias("revenue"),
+        )
+        .select("n_name", "p_type", "gid", "n", "qty", "revenue")
+        .orderBy("gid", "n_name", "p_type")
+    )
+
+
+@query(
+    "ds_window_dev",
+    oracle=f"""
+WITH q AS (
+  SELECT p_brand,
+         CAST(year(o_orderdate) AS INT) AS d_year,
+         CAST(quarter(o_orderdate) AS INT) AS d_qtr,
+         {sql_dsum(SQL_DISC_PRICE)} AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD'
+  GROUP BY p_brand, year(o_orderdate), quarter(o_orderdate)
+)
+SELECT p_brand, d_year, d_qtr, rev, ratio FROM (
+  SELECT p_brand, d_year, d_qtr, rev,
+         ROUND(rev / (CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                      / COUNT(*) OVER w), 6) AS ratio
+  FROM q
+  WINDOW w AS (PARTITION BY p_brand, d_year)
+)
+WHERE ratio >= 1.05
+ORDER BY p_brand, d_year, d_qtr
+""",
+)
+def ds_window_dev(spark, sf_dir):
+    """tpcds-modifiedQueries/q53.sql/q63.sql pattern: quarterly brand
+    revenue vs the brand-year window average; keep quarters deviating
+    >= 5% above. The window mean goes through exact decimals so both
+    engines divide identical doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    q = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.year("o_orderdate").alias("d_year"),
+            F.quarter("o_orderdate").alias("d_qtr"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("rev"))
+    )
+    w = Window.partitionBy("p_brand", "d_year")
+    mean = (
+        F.sum(F.col("rev").cast("decimal(18,4)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        q.withColumn("ratio", F.round(F.col("rev") / mean, 6))
+        .filter(F.col("ratio") >= 1.05)
+        .select("p_brand", "d_year", "d_qtr", "rev", "ratio")
+        .orderBy("p_brand", "d_year", "d_qtr")
+    )
+
+
+@query(
+    "ds_week_compare",
+    oracle=f"""
+WITH w AS (
+  SELECT n_name,
+         CAST(year(o_orderdate) AS INT) AS d_year,
+         CAST(weekofyear(o_orderdate) AS INT) AS d_week,
+         {sql_dsum(SQL_DISC_PRICE)} AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate), weekofyear(o_orderdate)
+)
+SELECT a.n_name, a.d_week, a.rev AS rev_1996, b.rev AS rev_1997,
+       ROUND(b.rev / a.rev, 6) AS wow_ratio
+FROM w a JOIN w b
+  ON a.n_name = b.n_name AND a.d_week = b.d_week
+WHERE a.d_year = 1996 AND b.d_year = 1997 AND a.rev > 0
+ORDER BY a.n_name, a.d_week
+""",
+)
+def ds_week_compare(spark, sf_dir):
+    """tpcds-modifiedQueries/q59.sql pattern: weekly revenue per
+    nation, year-over-year self-join on (nation, week) with the
+    growth ratio. The self-join operates on the small aggregated
+    relation, not the fact table."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    weekly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").alias("d_year"),
+            F.weekofyear("o_orderdate").alias("d_week"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("rev"))
+    )
+    a = weekly.filter((F.col("d_year") == 1996) & (F.col("rev") > 0)).alias("a")
+    b = weekly.filter(F.col("d_year") == 1997).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.d_week") == F.col("b.d_week")),
+        )
+        .select(
+            F.col("a.n_name").alias("n_name"),
+            F.col("a.d_week").alias("d_week"),
+            F.col("a.rev").alias("rev_1996"),
+            F.col("b.rev").alias("rev_1997"),
+            F.round(F.col("b.rev") / F.col("a.rev"), 6).alias("wow_ratio"),
+        )
+        .orderBy("n_name", "d_week")
+    )
+
+
+@query(
+    "ds_rev_fraction",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, {sql_dsum(SQL_DISC_PRICE)} AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 3
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey, l_suppkey, rev FROM (
+  SELECT l_partkey, l_suppkey, rev, MAX(rev) OVER (PARTITION BY l_partkey) AS mx
+  FROM ps
+)
+WHERE rev <= 0.5 * mx
+ORDER BY l_partkey, l_suppkey
+""",
+)
+def ds_rev_fraction(spark, sf_dir):
+    """tpcds-modifiedQueries/q65.sql pattern: per-(part, supplier)
+    revenue, keep suppliers at or under half of the per-part window
+    maximum (underperforming-supplier drill-down)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(disc_price()).cast("double").alias("rev"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("mx", F.max("rev").over(w))
+        .filter(F.col("rev") <= 0.5 * F.col("mx"))
+        .select("l_partkey", "l_suppkey", "rev")
+        .orderBy("l_partkey", "l_suppkey")
+    )
