@@ -50,7 +50,13 @@ SELECT p_partkey,
        starts_with(p_name, 'p') AS sw, ends_with(p_name, 's') AS ew,
        contains(p_name, 'ar') AS cont,
        regexp_extract(p_name, '([a-z]+)', 1) AS rex,
-       regexp_replace(p_name, '[aeiou]', '_', 'g') AS rre
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS rre,
+       hex(p_partkey) AS hx, bin(p_partkey) AS bn,
+       CAST(len(string_split(p_name, 'a')) AS INT) AS spl,
+       CAST(position('r' in p_name) AS INT) AS loc,
+       array_to_string((string_split(p_name, 'a'))[1:2], 'a') AS sidx,
+       CAST(ascii(p_name) AS INT) AS asc,
+       chr(65 + CAST(p_partkey % 26 AS INT)) AS chr
 FROM part WHERE p_partkey < 200 ORDER BY p_partkey
 """,
 )
@@ -86,6 +92,13 @@ def expr_string(spark, sf_dir):
         F.contains(n, F.lit("ar")).alias("cont"),
         F.regexp_extract(n, "([a-z]+)", 1).alias("rex"),
         F.regexp_replace(n, "[aeiou]", "_").alias("rre"),
+        F.hex(F.col("p_partkey")).alias("hx"),
+        F.bin(F.col("p_partkey")).alias("bn"),
+        F.size(F.split(n, "a")).alias("spl"),
+        F.locate("r", n).alias("loc"),
+        F.substring_index(n, "a", 2).alias("sidx"),
+        F.ascii(n).alias("asc"),
+        F.expr("char(65 + pmod(p_partkey, 26))").alias("chr"),
     ).orderBy("p_partkey")
 
 

@@ -159,59 +159,54 @@ def ds_window_dev(spark, sf_dir):
 @query(
     "ds_week_compare",
     oracle=f"""
-WITH w AS (
+SELECT n_name, d_week, rev_1996, rev_1997,
+       ROUND(rev_1997 / rev_1996, 6) AS wow_ratio
+FROM (
   SELECT n_name,
-         CAST(year(o_orderdate) AS INT) AS d_year,
          CAST(weekofyear(o_orderdate) AS INT) AS d_week,
-         {sql_dsum(SQL_DISC_PRICE)} AS rev
+         {sql_dsum(f"CASE WHEN year(o_orderdate) = 1996 THEN {SQL_DISC_PRICE} END")} AS rev_1996,
+         {sql_dsum(f"CASE WHEN year(o_orderdate) = 1997 THEN {SQL_DISC_PRICE} END")} AS rev_1997
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  GROUP BY n_name, year(o_orderdate), weekofyear(o_orderdate)
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY n_name, weekofyear(o_orderdate)
 )
-SELECT a.n_name, a.d_week, a.rev AS rev_1996, b.rev AS rev_1997,
-       ROUND(b.rev / a.rev, 6) AS wow_ratio
-FROM w a JOIN w b
-  ON a.n_name = b.n_name AND a.d_week = b.d_week
-WHERE a.d_year = 1996 AND b.d_year = 1997 AND a.rev > 0
-ORDER BY a.n_name, a.d_week
+WHERE rev_1996 > 0 AND rev_1997 IS NOT NULL
+ORDER BY n_name, d_week
 """,
 )
 def ds_week_compare(spark, sf_dir):
     """tpcds-modifiedQueries/q59.sql pattern: weekly revenue per
-    nation, year-over-year self-join on (nation, week) with the
-    growth ratio. The self-join operates on the small aggregated
-    relation, not the fact table."""
+    nation, year-over-year growth ratio. Instead of q59's literal
+    self-join (two evaluations of the weekly aggregate = two fact
+    scans at 100 TB), the year filter pushes to the scan and BOTH
+    years aggregate in ONE pass via conditional sums — same result,
+    half the IO."""
     li = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1996, 1997))
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
+    yr = F.year("o_orderdate")
     weekly = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy(
-            "n_name",
-            F.year("o_orderdate").alias("d_year"),
-            F.weekofyear("o_orderdate").alias("d_week"),
+        .groupBy("n_name", F.weekofyear("o_orderdate").alias("d_week"))
+        .agg(
+            F.sum(F.when(yr == 1996, disc_price())).cast("double").alias("rev_1996"),
+            F.sum(F.when(yr == 1997, disc_price())).cast("double").alias("rev_1997"),
         )
-        .agg(F.sum(disc_price()).cast("double").alias("rev"))
     )
-    a = weekly.filter((F.col("d_year") == 1996) & (F.col("rev") > 0)).alias("a")
-    b = weekly.filter(F.col("d_year") == 1997).alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.n_name") == F.col("b.n_name"))
-            & (F.col("a.d_week") == F.col("b.d_week")),
-        )
+        weekly.filter((F.col("rev_1996") > 0) & F.col("rev_1997").isNotNull())
         .select(
-            F.col("a.n_name").alias("n_name"),
-            F.col("a.d_week").alias("d_week"),
-            F.col("a.rev").alias("rev_1996"),
-            F.col("b.rev").alias("rev_1997"),
-            F.round(F.col("b.rev") / F.col("a.rev"), 6).alias("wow_ratio"),
+            "n_name",
+            "d_week",
+            "rev_1996",
+            "rev_1997",
+            F.round(F.col("rev_1997") / F.col("rev_1996"), 6).alias("wow_ratio"),
         )
         .orderBy("n_name", "d_week")
     )
