@@ -354,6 +354,53 @@ def rel_cross_join(spark, sf_dir):
 
 
 @query(
+    "rel_collect",
+    oracle="""
+SELECT l_returnflag,
+       array_to_string(list_sort(list_distinct(array_agg(l_linestatus))), ',')
+         AS statuses,
+       CAST(len(list_distinct(array_agg(l_linestatus))) AS INT) AS n_statuses
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def rel_collect(spark, sf_dir):
+    """collect_set / collect_list — row-fallback in the reference
+    (no actions in actions_impl.cc; SURVEY.md §2.4), built-in here.
+    Emitted as a sorted joined string: raw array columns hash
+    differently across engines' pandas conversions."""
+    li = t(spark, sf_dir, "lineitem")
+    statuses = F.array_sort(F.collect_set("l_linestatus"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.array_join(statuses, ",").alias("statuses"),
+            F.size(statuses).alias("n_statuses"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("rel_approx_agg")  # approx sketches differ across engines — rows-only
+def rel_approx_agg(spark, sf_dir):
+    """approx_count_distinct (HLL) + percentile_approx — 'free
+    coverage' beyond the reference (SURVEY.md §2.4: no native actions,
+    row fallback there). Sketches are engine-specific so there is no
+    hash oracle; tests/test_operators.py bounds them against exact
+    values."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey").alias("approx_supp"),
+            F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+            F.countDistinct("l_suppkey").alias("exact_supp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "rel_agg_stats",
     oracle="""
 SELECT l_returnflag,

@@ -155,6 +155,18 @@ def test_hash_aggregate_global_and_grouped(spark):
     ]
 
 
+def test_approx_aggregates_are_close_to_exact(spark):
+    """The rows-only rel_approx_agg entry: HLL estimate within 10% of
+    exact distinct count; approx median inside the value range."""
+    from gazelle_plugin_spark.plans import all_queries
+
+    rows = all_queries()["rel_approx_agg"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_supp - r.exact_supp) <= 0.1 * r.exact_supp
+        assert 1.0 <= r.approx_median_qty <= 50.0
+
+
 # -------------------------------------------- exchange / sort / projection
 
 def test_exchange_partitioning_modes(spark):
