@@ -309,6 +309,42 @@ def doc_minhash_neardup(spark, sf_dir):
     )
 
 
+#: BPE-ish pre-tokenizer: word / number / punctuation-run pieces with
+#: optional leading space (GPT-2-style, simplified to the regex subset
+#: RE2 and Java share — no lookahead).
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@query(
+    "doc_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(text, '{BPE_PATTERN}')) AS chars_per_token
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_token_counts(spark, sf_dir):
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pre-tokenizer (word/number/punct pieces with optional leading
+    space) — the standard cheap token-budget estimators for LLM
+    training data. Pure per-row expressions, zero shuffles."""
+    d = t(spark, sf_dir, "documents")
+    # idx 0 = whole match (Spark defaults to capture group 1)
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        (F.length("text").cast("double") / F.size(bpe)).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
 #: Spark expression computing the 60-bit SimHash of `text` (token-
 #: frequency weighted majority vote per bit; cross-engine md5 hashes).
 _SIMHASH_EXPR = """
