@@ -274,6 +274,63 @@ def expr_hash(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+@query(
+    "expr_nested",
+    oracle="""
+SELECT l_orderkey,
+       CAST(len(ql) AS INT) AS n,
+       ql[1] AS first_qty,
+       ql[len(ql)] AS last_qty,
+       array_to_string(ql[1:3], ',') AS head3,
+       list_max(ql) AS mx,
+       list_min(ql) AS mn,
+       list_contains(ql, 10.0) AS has10,
+       array_to_string(list_reverse(ql), ',') AS rev,
+       CAST(len(list_distinct(ql)) AS INT) AS n_uniq,
+       st.flag AS s_flag, st.qty AS s_qty
+FROM (
+  SELECT l_orderkey,
+         list_sort(array_agg(l_quantity)) AS ql,
+         struct_pack(flag := MIN(l_returnflag), qty := MIN(l_quantity)) AS st
+  FROM lineitem WHERE l_orderkey < 100
+  GROUP BY l_orderkey
+)
+ORDER BY l_orderkey
+""",
+)
+def expr_nested(spark, sf_dir):
+    """Nested-type expression sweep: arrays (size/element_at/slice/
+    max/min/contains/reverse/distinct) and struct field access — the
+    reference's explicit weak spot (docs/operators.md type matrix:
+    ARRAY/MAP/STRUCT blank = row fallback, complex types behind an
+    experimental flag, GazellePluginConfig.scala:177-179). Built-in
+    and codegen'd here. Array columns leave the query as joined
+    strings/scalars — raw array/struct outputs hash differently
+    across engines' pandas conversions."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    g = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_quantity")).alias("ql"),
+        F.struct(
+            F.min("l_returnflag").alias("flag"), F.min("l_quantity").alias("qty")
+        ).alias("st"),
+    )
+    ql = F.col("ql")
+    return g.select(
+        "l_orderkey",
+        F.size(ql).alias("n"),
+        F.element_at(ql, 1).alias("first_qty"),
+        F.element_at(ql, F.size(ql)).alias("last_qty"),
+        F.array_join(F.slice(ql, 1, 3), ",").alias("head3"),
+        F.array_max(ql).alias("mx"),
+        F.array_min(ql).alias("mn"),
+        F.array_contains(ql, 10.0).alias("has10"),
+        F.array_join(F.reverse(ql), ",").alias("rev"),
+        F.size(F.array_distinct(ql)).alias("n_uniq"),
+        F.col("st.flag").alias("s_flag"),
+        F.col("st.qty").alias("s_qty"),
+    ).orderBy("l_orderkey")
+
+
 @query("expr_hash_native")  # no DuckDB analog for Spark murmur3/xxhash64/crc32
 def expr_hash_native(spark, sf_dir):
     """Spark-native hashes: murmur3 (`hash`), xxhash64, crc32 — the

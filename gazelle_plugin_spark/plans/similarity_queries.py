@@ -280,6 +280,134 @@ def emb_neardup_pairs(spark, sf_dir):
     )
 
 
+#: IVF probe width: search the nprobe nearest centroid buckets.
+N_PROBE = 3
+
+_SQL_CENTROIDS = f"""
+  SELECT label AS c_label, array_agg(ROUND(c, {SIM_DECIMALS}) ORDER BY i) AS ce
+  FROM (
+    SELECT label, i.i AS i, AVG(embedding[i.i]::DOUBLE) AS c
+    FROM v, UNNEST(generate_series(1, 64)) AS i(i)
+    GROUP BY label, i.i
+  ) dims
+  GROUP BY label
+"""
+
+_SQL_ASSIGN = f"""
+  SELECT vec_id, c_label FROM (
+    SELECT v.vec_id, c.c_label,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             ROUND({_sql_dot('v.embedding', 'c.ce')}
+                   / sqrt(v.n2 * {_sql_dot('c.ce', 'c.ce')}), {SIM_DECIMALS}) DESC,
+             c.c_label) AS rk
+    FROM v CROSS JOIN cent c
+  ) WHERE rk = 1
+"""
+
+
+@query(
+    "emb_ivf_search",
+    oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+cent AS ({_SQL_CENTROIDS}),
+assign AS ({_SQL_ASSIGN}),
+q AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM v
+      WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT q_id, c_label FROM (
+    SELECT q.q_id, c.c_label,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             ROUND({_sql_dot('q.qe', 'c.ce')}
+                   / sqrt(q.qn2 * {_sql_dot('c.ce', 'c.ce')}), {SIM_DECIMALS}) DESC,
+             c.c_label) AS rk
+    FROM q CROSS JOIN cent c
+  ) WHERE rk <= {N_PROBE}
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         ROUND({_sql_dot('q.qe', 'v.embedding')}
+               / sqrt(q.qn2 * v.n2), {SIM_DECIMALS}) AS cos_sim
+  FROM probes p
+  JOIN assign a ON a.c_label = p.c_label
+  JOIN v ON v.vec_id = a.vec_id
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+""",
+)
+def emb_ivf_search(spark, sf_dir):
+    """Full IVF probe search: assign every corpus vector to its
+    nearest (label-)centroid bucket once, then for each query score
+    ONLY the {N_PROBE} nearest buckets' members. The inverted-file
+    scale path: per-query work is nprobe/k of the corpus, the
+    assignment is a build-time linear pass, and the centroid set is
+    broadcast everywhere."""
+    v = _vectors(spark, sf_dir)
+    # build: centroids + corpus assignment (same derivation as
+    # emb_centroid_assign, kept inline so the query is self-contained)
+    dims = v.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), SIM_DECIMALS).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pc, p -> p.c)").alias("ce"),
+        )
+    )
+    cos_vc = F.round(
+        _dot("embedding", "ce") / F.sqrt(F.col("n2") * _dot("ce", "ce")), SIM_DECIMALS
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "c_label")
+    assign = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "c_label", cos_vc.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "c_label")
+    )
+    # probe: nearest N_PROBE centroids per query
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    cos_qc = F.round(
+        _dot("qe", "ce") / F.sqrt(F.col("qn2") * _dot("ce", "ce")), SIM_DECIMALS
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_label")
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("q_id", "c_label", cos_qc.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("q_id", "c_label")
+    )
+    # search: score only probed buckets
+    cos_qv = F.round(
+        _dot("qe", "embedding") / F.sqrt(F.col("qn2") * F.col("n2")), SIM_DECIMALS
+    )
+    scored = (
+        probes.join(assign, "c_label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(v, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "vec_id", cos_qv.alias("cos_sim"))
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("q_id", "rk")
+    )
+
+
 @query(
     "emb_centroid_assign",
     oracle=f"""

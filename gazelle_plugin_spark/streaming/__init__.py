@@ -10,6 +10,8 @@ applyInPandasWithState (the pattern for operators Spark lacks).
 
 from gazelle_plugin_spark.streaming.pipeline import (
     EVENTS_SCHEMA,
+    dedup_stream,
+    enrich_stream,
     sessionize,
     sessionize_stateful,
     stream_events,
@@ -22,4 +24,6 @@ __all__ = [
     "windowed_counts",
     "sessionize",
     "sessionize_stateful",
+    "dedup_stream",
+    "enrich_stream",
 ]

@@ -103,6 +103,30 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicatesWithinWatermark
+    keeps per-key state only for the watermark horizon — the
+    bounded-state streaming twin of plans.text_pipeline.doc_exact_dedup
+    (an unbounded dropDuplicates would accumulate state forever at
+    100 TB/day)."""
+    keys = keys or ["event_id"]
+    src = events.withWatermark("ts", watermark)
+    if events.isStreaming:
+        return src.dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each event with a (small, slowly
+    changing) dimension. The static side behaves like a broadcast dim
+    in batch — re-read per micro-batch, no streaming state."""
+    return events.join(F.broadcast(dim), on, "left_outer")
+
+
 #: Output of sessionize_stateful: one row per CLOSED session.
 SESSION_SCHEMA = StructType(
     [

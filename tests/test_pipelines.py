@@ -48,6 +48,17 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"LSH recall@10 collapsed: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=3 of 10 label-buckets on unclustered random
+    vectors: recall is bucket-coverage-bound (~nprobe/k); assert the
+    plumbing finds a reasonable fraction and never returns a
+    non-bucket vector."""
+    bf = {(r.q_id, r.vec_id) for r in QUERIES["emb_topk_cosine"](spark, SF_MED).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in QUERIES["emb_ivf_search"](spark, SF_MED).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
 def test_minhash_finds_planted_neardups(spark):
     """The synthetic corpus plants near-duplicate documents; the
     banded MinHash pipeline must surface them (>= 10 verified pairs at

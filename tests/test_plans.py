@@ -24,6 +24,7 @@ BNLJ_ALLOWED = {
     "emb_lsh_topk",
     "emb_centroid_assign",
     "emb_neardup_pairs",
+    "emb_ivf_search",
     "rel_cross_join",
     # scalar-subquery pattern: a 1-row aggregate (global threshold /
     # average / NAAJ stats) broadcast against the main branch

@@ -61,6 +61,38 @@ def test_session_window_stream_matches_batch(spark, events_dir):
     assert rows(got) == rows(expected)
 
 
+def test_streaming_dedup_drops_replayed_rows(spark, events_dir, tmp_path):
+    """Duplicate the source files (a replayed batch) — streaming dedup
+    must restore exactly the distinct event_ids."""
+    import shutil
+    from gazelle_plugin_spark.streaming import dedup_stream
+
+    dup_dir = str(tmp_path / "dup.parquet")
+    shutil.copytree(events_dir, dup_dir)
+    for f in list((tmp_path / "dup.parquet").glob("part-*")):
+        shutil.copy(f, f.with_name("replay-" + f.name))
+    stream = stream_events(spark, dup_dir)
+    got = _run_stream(spark, dedup_stream(stream), "dd_sink", "append")
+    batch = spark.read.parquet(events_dir)
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_static_join_enriches(spark, events_dir):
+    from gazelle_plugin_spark.streaming import enrich_stream
+
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("cohort")
+    )
+    stream = stream_events(spark, events_dir)
+    got = _run_stream(spark, enrich_stream(stream, dim), "en_sink", "append")
+    batch = spark.read.parquet(events_dir)
+    assert got.count() == batch.count()
+    matched = got.filter(F.col("cohort").isNotNull()).count()
+    expected = batch.filter(F.col("user_id") < 10).count()
+    assert matched == expected
+
+
 def test_stateful_sessionize_closed_sessions(spark, events_dir):
     """applyInPandasWithState emits exactly the CLOSED sessions: every
     batch session except each user's final (still-open) one."""
