@@ -285,6 +285,83 @@ def events_time_parts(spark, sf_dir):
 
 
 @query(
+    "events_asof_join",
+    oracle=_EVENTS_CTE
+    + """
+SELECT l.event_id, l.user_id, r.value AS last_signup_value
+FROM (SELECT * FROM e WHERE event_type = 'click' AND user_id < 20) l
+ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+ORDER BY l.event_id
+""",
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: attach to each click the user's most recent signup
+    value at that instant. The reference has no as-of kernel (SURVEY
+    §2.3) and Spark has no ASOF JOIN — implemented as union +
+    carry-forward window (operators/temporal.py): ONE shuffle on
+    user_id, no theta join. Oracle: DuckDB's native ASOF JOIN."""
+    from gazelle_plugin_spark.operators.temporal import asof_join
+
+    e = events(spark, sf_dir)
+    clicks = e.filter((F.col("event_type") == "click") & (F.col("user_id") < 20))
+    signups = e.filter(F.col("event_type") == "signup")
+    out = asof_join(
+        clicks.select("event_id", "user_id", "ts_us"),
+        signups.select("user_id", "ts_us", "value"),
+        key="user_id",
+        left_time="ts_us",
+        right_time="ts_us",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("value").alias("last_signup_value")
+    ).orderBy("event_id")
+
+
+@query(
+    "events_range_join",
+    oracle=_EVENTS_CTE
+    + """
+SELECT err.event_id, CAST(COUNT(*) AS BIGINT) AS n_nearby_clicks
+FROM (SELECT * FROM e WHERE event_type = 'error') err
+JOIN (SELECT * FROM e WHERE event_type = 'click') c
+  ON err.user_id = c.user_id AND abs(err.ts_us - c.ts_us) <= 300000000
+GROUP BY err.event_id
+ORDER BY err.event_id
+""",
+)
+def events_range_join(spark, sf_dir):
+    """Bounded range join: clicks within +-5 min of each error by the
+    same user. No range kernel exists in the reference or Spark —
+    implemented as a (key, time-bucket) equi-join with neighbor-bucket
+    explosion + residual |dt| filter (operators/temporal.py): bucketed
+    cost, never |L|x|R| per key."""
+    from gazelle_plugin_spark.operators.temporal import range_join_buckets
+
+    e = events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts_us").alias("c_ts_us")
+    )
+    pairs = range_join_buckets(
+        errors,
+        clicks,
+        key="user_id",
+        left_time="ts_us",
+        right_time="c_ts_us",
+        max_delta=300_000_000,
+    )
+    return (
+        pairs.groupBy(F.col("l.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_nearby_clicks"))
+        .orderBy("event_id")
+    )
+
+
+@query(
     "events_funnel",
     oracle=_EVENTS_CTE
     + """

@@ -155,6 +155,40 @@ def test_hash_aggregate_global_and_grouped(spark):
     ]
 
 
+# ------------------------------------------------------------- temporal
+
+def test_asof_join_edges(spark):
+    from gazelle_plugin_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 1, 5), (3, 1, 20), (4, 1, 20)], "id int, k int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0)], "k int, t long, v double"
+    )
+    out = asof_join(left, right, "k", "t", "t", ["v"])
+    got = {r.id: r.v for r in out.collect()}
+    # id=1: key 10 has no right rows -> NULL; id=2: t=5 before any -> NULL
+    # id=3/4: t=20 ties the right row at 20 -> 2.0 (>= semantics)
+    assert got == {1: None, 2: None, 3: 2.0, 4: 2.0}
+
+
+def test_range_join_buckets_boundaries(spark):
+    from gazelle_plugin_spark.operators.temporal import range_join_buckets
+
+    left = spark.createDataFrame([(1, 1, 1000)], "id int, k int, t long")
+    right = spark.createDataFrame(
+        [(1, 900, "in"), (1, 1100, "in"), (1, 1101, "out_hi"),
+         (1, 899, "out_lo"), (2, 1000, "other_key")],
+        "k int, rt long, tag string",
+    )
+    out = range_join_buckets(left, right, "k", "t", "rt", max_delta=100)
+    tags = sorted(r.tag for r in out.collect())
+    assert tags == ["in", "in"]
+    # each in-range pair appears exactly once despite bucket explosion
+    assert out.count() == 2
+
+
 def test_approx_aggregates_are_close_to_exact(spark):
     """The rows-only rel_approx_agg entry: HLL estimate within 10% of
     exact distinct count; approx median inside the value range."""
