@@ -34,11 +34,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+        # default; read it as a long and convert ns -> us with INTEGER
+        # division (float division rounds at the 1.7e18 ns scale)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
 ) -> dict[str, DataFrame]:
     """Load the synthetic tables as DataFrames (lazy scans)."""
-    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in names}
+    return {name: _load_one(spark, sf_dir, name) for name in names}
 
 
 def register_views(

@@ -1,0 +1,61 @@
+"""SQL entry surface: views registered, SQL text produces the same
+plans/results as the DataFrame builders, and errors.py's typed
+fallback discipline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazelle_plugin_spark.operators import joins
+from gazelle_plugin_spark.operators.errors import UnsupportedOperationError
+from gazelle_plugin_spark.sql import SqlEngine
+from tests.conftest import SF_MED
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return SqlEngine(spark, SF_MED)
+
+
+def test_sql_over_views(engine):
+    n = engine.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n
+    assert n > 0
+    joined = engine.sql(
+        """
+        SELECT n_name, COUNT(*) AS c
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+        """
+    )
+    assert joined.count() == 25
+
+
+def test_sql_matches_dataframe_builder(engine, spark):
+    from gazelle_plugin_spark.plans import all_queries
+
+    df_result = sorted(
+        tuple(r) for r in all_queries()["rel_smj"](spark, SF_MED).collect()
+    )
+    sql_result = sorted(
+        tuple(r)
+        for r in engine.sql(
+            """
+            SELECT n_name, COUNT(*) AS n_supp,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+            """
+        ).collect()
+    )
+    assert df_result == sql_result
+
+
+def test_unsupported_operation_error_discipline(spark):
+    """The RowGuard-analog: helpers raise a typed error naming the
+    vanilla-Spark escape hatch, never silently degrade."""
+    a = spark.range(3)
+    with pytest.raises(UnsupportedOperationError, match="df.join"):
+        joins.hash_join(a, a, "id", how="left_semi_oops")
+    with pytest.raises(UnsupportedOperationError, match="build="):
+        joins.broadcast_hash_join(a, a, "id", build="middle")
