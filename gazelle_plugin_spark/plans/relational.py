@@ -381,6 +381,34 @@ def rel_collect(spark, sf_dir):
     )
 
 
+@query(
+    "rel_percentile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def rel_percentile(spark, sf_dir):
+    """Exact interpolated percentiles — no native action in the
+    reference (SURVEY.md §2.4 'percentiles ... none have actions');
+    Spark's percentile and DuckDB's quantile_cont share the linear
+    interpolation definition and match bit-for-bit."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("p50_qty"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+            F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query("rel_approx_agg")  # approx sketches differ across engines — rows-only
 def rel_approx_agg(spark, sf_dir):
     """approx_count_distinct (HLL) + percentile_approx — 'free
