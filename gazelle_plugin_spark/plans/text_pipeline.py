@@ -352,18 +352,6 @@ def doc_token_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-#: Spark expression computing the 60-bit SimHash of `text` (token-
-#: frequency weighted majority vote per bit; cross-engine md5 hashes).
-_SIMHASH_EXPR = """
-aggregate(sequence(0, 59), 0L, (acc, b) -> acc + if(
-  aggregate(
-    transform(split(text, ' '),
-              t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-    0L,
-    (a, h) -> a + if((h div shiftleft(1L, b)) % 2 = 1, 1L, -1L)
-  ) > 0, shiftleft(1L, b), 0L))
-"""
-
 #: Shingle-level SimHash for near-dup detection: unigram-token
 #: fingerprints CONVERGE on a shared-vocabulary corpus (similar word
 #: frequencies -> similar fingerprints -> dense LSH buckets -> the

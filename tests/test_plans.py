@@ -74,6 +74,34 @@ def test_q6_pushes_predicates_to_parquet(spark):
     assert "l_discount" in scan_part.split("ReadSchema")[0], plan
 
 
+def test_multimodal_featurizer_is_arrow_batched(spark):
+    """mm_byte_features must run Python via MapInPandas (Arrow
+    batches), never a row-at-a-time eval."""
+    plan = _plan(spark, "mm_byte_features")
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_bucketed_scan_prunes_buckets(spark):
+    """An equality filter on the bucket key must prune to one bucket
+    at the scan (SelectedBucketsCount in the plan)."""
+    from gazelle_plugin_spark.sources import read
+    from gazelle_plugin_spark.sources.bucketing import read_bucketed, write_bucketed
+    from gazelle_plugin_spark.catalog import table_path
+
+    li = read(spark, table_path(SF_SMALL, "lineitem")).select("l_orderkey", "l_quantity")
+    write_bucketed(li, "b_li_prune", ["l_orderkey"], 8)
+    # autoBucketedScan drops the bucketed layout for filter-only scans
+    # (no join/agg needs the distribution) — force it to see pruning
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        df = read_bucketed(spark, "b_li_prune").filter(F.col("l_orderkey") == 42)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+
+
 def test_filter_before_join_in_star_queries(spark):
     """Dim filters must run before the join (filter-then-broadcast,
     not broadcast-then-filter): the broadcast side row count at 100 TB
