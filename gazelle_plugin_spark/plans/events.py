@@ -260,6 +260,8 @@ SELECT event_id,
        CAST(second(ts) AS INT) AS ss,
        CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_s,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt,
+       strftime(to_timestamp(epoch_us(ts) // 1000000), '%Y-%m-%d %H:%M:%S')
+         AS from_unix,
        CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_start
 FROM events WHERE event_id < 300 ORDER BY event_id
 """,
@@ -280,6 +282,9 @@ def events_time_parts(spark, sf_dir):
         F.second(ts).alias("ss"),
         F.expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000").alias("epoch_s"),
         F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("fmt"),
+        F.from_unixtime(
+            F.expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000")
+        ).alias("from_unix"),
         F.date_trunc("minute", ts).alias("minute_start"),
     ).orderBy("event_id")
 

@@ -352,6 +352,71 @@ def doc_token_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+#: Winnowing fingerprint parameters: character k-grams, strided
+#: window minima (the MOSS-style rolling-hash fingerprint, with fixed
+#: windows instead of sliding ones — same per-window-min structure).
+KGRAM = 8
+WINNOW_WINDOW = 16
+
+
+@query(
+    "doc_winnow_fingerprint",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, i.i AS i,
+         {sql_md5h60(f"substring(text, CAST(i.i AS INT), {KGRAM})")} AS h
+  FROM documents,
+       UNNEST(generate_series(1, length(text) - {KGRAM} + 1)) AS i(i)
+  WHERE length(text) >= {KGRAM} AND doc_id < 100
+),
+mins AS (
+  SELECT doc_id, (i - 1) // {WINNOW_WINDOW} AS w, MIN(h) AS fp
+  FROM pos GROUP BY doc_id, (i - 1) // {WINNOW_WINDOW}
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+       CAST(SUM(fp % 1000000) AS BIGINT) AS fp_checksum
+FROM mins GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def doc_winnow_fingerprint(spark, sf_dir):
+    """Document fingerprinting via rolling character k-grams +
+    per-window minima (winnowing): hash every {KGRAM}-char gram, keep
+    the minimum per {WINNOW_WINDOW}-gram window — near-identical docs
+    share most selected fingerprints, enabling containment/overlap
+    detection (the MOSS approach). Columnar shape: posexplode ->
+    hash -> two map-side-combinable groupBys; no interpreted lambdas,
+    no shuffle of document bodies."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter((F.length("text") >= KGRAM) & (F.col("doc_id") < 100))
+        .repartition("doc_id")
+    )
+    pos = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(text) - {KGRAM} + 1),"
+                   f" i -> substring(text, i, {KGRAM}))")
+        ).alias("p", "g"),
+    )
+    mins = (
+        pos.select("doc_id", F.col("p").alias("i"), md5h60(F.col("g")).alias("h"))
+        .groupBy("doc_id", F.expr(f"i div {WINNOW_WINDOW}").alias("w"))
+        .agg(F.min("h").alias("fp"))
+    )
+    return (
+        mins.groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+            F.sum(F.col("fp") % 1000000).alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Shingle-level SimHash for near-dup detection: unigram-token
 #: fingerprints CONVERGE on a shared-vocabulary corpus (similar word
 #: frequencies -> similar fingerprints -> dense LSH buckets -> the
