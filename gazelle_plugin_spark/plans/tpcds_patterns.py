@@ -14,6 +14,10 @@ part/supplier/nation as in plans/ssb.py.
 - ds_week_compare  <- q59: week-over-week self-join of weekly partials
 - ds_rev_fraction  <- q65: keep suppliers under a fraction of the
                      per-part window max
+- ds_freq_buyers   <- q34/q73: per-customer trip count, HAVING band,
+                     join back to the customer dim
+- ds_dow_pivot     <- q43: weekday pivot via conditional sums
+- ds_ss_max        <- ss_max.sql: global scan stats in one pass
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -26,7 +30,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gazelle_plugin_spark.plans import query
-from gazelle_plugin_spark.plans._util import SQL_DISC_PRICE, disc_price, sql_dsum, t
+from gazelle_plugin_spark.plans._util import SQL_DISC_PRICE, dec, disc_price, sql_dsum, t
 
 
 @query(
@@ -246,4 +250,96 @@ def ds_rev_fraction(spark, sf_dir):
         .filter(F.col("rev") <= 0.5 * F.col("mx"))
         .select("l_partkey", "l_suppkey", "rev")
         .orderBy("l_partkey", "l_suppkey")
+    )
+
+
+@query(
+    "ds_freq_buyers",
+    oracle="""
+SELECT c_custkey, c_name, cnt
+FROM (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders WHERE o_orderstatus = 'F'
+  GROUP BY o_custkey HAVING COUNT(*) BETWEEN 5 AND 9
+) fo JOIN customer ON o_custkey = c_custkey
+ORDER BY c_custkey
+""",
+)
+def ds_freq_buyers(spark, sf_dir):
+    """tpcds-modifiedQueries/q34.sql / q73.sql pattern: count trips
+    (orders) per customer, HAVING the count in a band, then join back
+    to the customer dim for names. Scale shape: the agg output is
+    HAVING-narrowed, so it is the broadcast side of the join-back —
+    customer (large at 100 TB) is never shuffled."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    fo = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt").between(5, 9))
+    )
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(fo), c.c_custkey == fo.o_custkey)
+        .select("c_custkey", "c_name", "cnt")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "ds_dow_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 0 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sun_rev,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 1 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS mon_rev,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 2 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS tue_rev,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 3 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS wed_rev,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 4 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS thu_rev,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 5 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS fri_rev,
+       CAST(SUM(CASE WHEN dayofweek(o_orderdate) = 6 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sat_rev
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def ds_dow_pivot(spark, sf_dir):
+    """tpcds-modifiedQueries/q43.sql pattern: one pass over the fact
+    table, revenue pivoted into a column per weekday via conditional
+    sums (the Expand-free pivot — 7 map-side-combinable aggregates,
+    single shuffle on the group key). Spark dayofweek is 1=Sunday,
+    DuckDB 0=Sunday: the oracle uses the DuckDB numbering and the
+    Spark side subtracts 1."""
+    o = t(spark, sf_dir, "orders")
+    dow = F.dayofweek("o_orderdate") - 1
+    cols = [
+        F.sum(F.when(dow == i, dec("o_totalprice")))
+        .cast("double")
+        .alias(f"{name}_rev")
+        for i, name in enumerate(["sun", "mon", "tue", "wed", "thu", "fri", "sat"])
+    ]
+    return o.groupBy("o_orderpriority").agg(*cols).orderBy("o_orderpriority")
+
+
+@query(
+    "ds_ss_max",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+       CAST(MAX(l_shipdate) AS TIMESTAMP) AS max_shipdate
+FROM lineitem
+""",
+)
+def ds_ss_max(spark, sf_dir):
+    """tpcds-modifiedQueries/ss_max.sql pattern: global scan stats —
+    counts, distinct counts, and column maxima in ONE pass over the
+    fact table (partial aggregation does all the work map-side; the
+    final exchange moves one row per partition)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+        F.max("l_shipdate").cast("timestamp").alias("max_shipdate"),
     )
