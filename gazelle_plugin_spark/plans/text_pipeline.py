@@ -316,6 +316,93 @@ def doc_minhash_neardup(spark, sf_dir):
     )
 
 
+#: n-gram Jaccard join: shingles seen in more than this many docs are
+#: "stop-shingles" — excluded from CANDIDATE generation (they would
+#: dominate the self-join's sum-of-df^2 cost) but still counted in the
+#: exact verify. A J>=0.8 pair shares ~89% of shingles, virtually all
+#: rare, so recall is unaffected (pytest pins it against MinHash).
+NGRAM_DF_MAX = 20
+
+
+@query(
+    "doc_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s
+         WHERE df.df <= {NGRAM_DF_MAX}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+  GROUP BY c.d1, c.d2
+)
+SELECT d1, d2, CAST(i AS DOUBLE) / (n1.n + n2.n - i) AS jaccard
+FROM inter
+JOIN sizes n1 ON d1 = n1.doc_id
+JOIN sizes n2 ON d2 = n2.doc_id
+WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+""",
+)
+def doc_ngram_jaccard(spark, sf_dir):
+    """Direct n-gram Jaccard near-dup join (the deterministic fourth
+    dedup family, vs the probabilistic MinHash route): an inverted
+    index on 3-gram shingles generates candidate pairs from shingles
+    shared by few documents (document-frequency pruning, the standard
+    set-similarity-join trick), then exact Jaccard over ALL shingles
+    verifies candidates only.
+
+    Scale shape: the candidate self-join shuffles on the shingle, and
+    the DF cap bounds each shingle's bucket at {NGRAM_DF_MAX} docs, so
+    join cost is <= DF_MAX x total postings — linear in corpus size,
+    never n^2. Unlike MinHash this has NO false negatives among pairs
+    sharing >=1 rare shingle (at J>=0.8 that is all of them)."""
+    # the shingle set feeds five plan branches; measured at sf0.1,
+    # recomputing the (cheap, codegen'd) explosion per branch beats a
+    # .persist() barrier — caching blinds AQE's runtime replanning. At
+    # 100 TB the shingle set is the natural checkpoint candidate; that
+    # choice belongs to the caller (sources/io.py cache_columnar).
+    sh = _shingles(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(dfreq.filter(F.col("df") <= NGRAM_DF_MAX), "s").select(
+        "doc_id", "s"
+    )
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    left = sh.select(F.col("doc_id").alias("d1"), F.col("s").alias("ls"))
+    right = sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("rs"))
+    inter = (
+        cand.join(left, "d1")
+        .join(right, (cand.d2 == right.d2) & (F.col("ls") == F.col("rs")))
+        .groupBy(cand.d1, cand.d2)
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
 #: BPE-ish pre-tokenizer: word / number / punctuation-run pieces with
 #: optional leading space (GPT-2-style, simplified to the regex subset
 #: RE2 and Java share — no lookahead).

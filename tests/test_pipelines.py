@@ -66,3 +66,21 @@ def test_minhash_finds_planted_neardups(spark):
     rows = QUERIES["doc_minhash_neardup"](spark, SF_MED).collect()
     assert len(rows) >= 10
     assert all(r.jaccard >= 0.8 for r in rows)
+
+def test_ngram_jaccard_no_all_pairs(spark):
+    """DF-pruned inverted-index join: candidates come from an equi-join
+    on the shingle, never a cartesian."""
+    plan = _plan(spark, "doc_ngram_jaccard")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_jaccard_superset_of_minhash(spark):
+    """The deterministic n-gram Jaccard join has no false negatives
+    among rare-shingle-sharing pairs, so its result must contain every
+    pair the probabilistic MinHash route surfaces (both verify with the
+    same exact Jaccard >= 0.8)."""
+    exact = {(r.d1, r.d2) for r in QUERIES["doc_ngram_jaccard"](spark, SF_MED).collect()}
+    mh = {(r.d1, r.d2) for r in QUERIES["doc_minhash_neardup"](spark, SF_MED).collect()}
+    assert mh <= exact, f"minhash found pairs the exact join missed: {mh - exact}"
+    assert len(exact) >= 10
