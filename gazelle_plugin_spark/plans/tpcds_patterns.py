@@ -18,6 +18,8 @@ part/supplier/nation as in plans/ssb.py.
                      join back to the customer dim
 - ds_dow_pivot     <- q43: weekday pivot via conditional sums
 - ds_ss_max        <- ss_max.sql: global scan stats in one pass
+- ds_exists_disjunction <- q10: EXISTS conjunction + EXISTS
+                     disjunction (Catalyst ExistenceJoin)
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -342,4 +344,47 @@ def ds_ss_max(spark, sf_dir):
         F.max("l_quantity").cast("double").alias("max_qty"),
         F.max("l_extendedprice").cast("double").alias("max_price"),
         F.max("l_shipdate").cast("timestamp").alias("max_shipdate"),
+    )
+
+
+@query(
+    "ds_exists_disjunction",
+    oracle="""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  AND (EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+       OR EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 150000))
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def ds_exists_disjunction(spark, sf_dir):
+    """tpcds-modifiedQueries/q10.sql pattern: EXISTS in a conjunction
+    AND a disjunction of EXISTS. The disjunction is the one EXISTS
+    shape a semi-join cannot express, so Catalyst plans the reference's
+    ExistenceJoin (ColumnarSortMergeJoinExec.scala:124-131 join-type
+    list; SURVEY.md §2 #13) — tests assert it appears in the physical
+    plan. Expressed through the SQL entry point with DataFrame
+    parameter binding (no shared temp-view namespace)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+SELECT n_name, COUNT(*) AS n_customers
+FROM {c} c JOIN {n} n ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM {o}
+              WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
+  AND (EXISTS (SELECT 1 FROM {o}
+               WHERE o_custkey = c.c_custkey AND o_orderstatus = 'F')
+       OR EXISTS (SELECT 1 FROM {o}
+                  WHERE o_custkey = c.c_custkey AND o_totalprice > 150000))
+GROUP BY n_name ORDER BY n_name
+""",
+        c=c,
+        n=n,
+        o=o,
     )

@@ -116,3 +116,16 @@ def test_filter_before_join_in_star_queries(spark):
     )
     # the part-side scan itself carries the pushed filter
     assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,MEDIUM)" in plan, plan
+
+
+def test_exists_disjunction_plans_existence_join(spark):
+    """The EXISTS-disjunction pattern must exercise Catalyst's
+    ExistenceJoin (the reference's ColumnarSortMergeJoinExec join-type
+    list includes it; SURVEY.md §2 #13) — a semi-join can't express an
+    OR of EXISTS."""
+    from gazelle_plugin_spark.plans import all_queries
+    from tests.conftest import SF_MED
+
+    df = all_queries()["ds_exists_disjunction"](spark, SF_MED)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistenceJoin" in plan, plan
