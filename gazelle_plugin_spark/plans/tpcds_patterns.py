@@ -20,6 +20,8 @@ part/supplier/nation as in plans/ssb.py.
 - ds_ss_max        <- ss_max.sql: global scan stats in one pass
 - ds_exists_disjunction <- q10: EXISTS conjunction + EXISTS
                      disjunction (Catalyst ExistenceJoin)
+- ds_class_share   <- q98: brand share of its class total via a
+                     partition window SUM over the pre-aggregate
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -387,4 +389,49 @@ GROUP BY n_name ORDER BY n_name
         c=c,
         n=n,
         o=o,
+    )
+
+
+@query(
+    "ds_class_share",
+    oracle=f"""
+WITH br AS (
+  SELECT p_type, p_brand, SUM({SQL_DISC_PRICE}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand, CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY p_type) AS DOUBLE),
+             6) AS class_share
+FROM br ORDER BY p_type, p_brand
+""",
+)
+def ds_class_share(spark, sf_dir):
+    """tpcds-modifiedQueries/q98.sql pattern: each brand's share of
+    its type-class revenue total via a partition window SUM. Scale
+    shape: the fact table is reduced by the (type, brand) aggregate
+    FIRST, so the window's extra exchange moves only one row per
+    brand — never raw lineitem. The window sum stays in exact decimal
+    (float window sums are order-dependent); the share is one double
+    division rounded to 6 places on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    br = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(disc_price()).alias("rev"))
+    )
+    w = Window.partitionBy("p_type")
+    share = F.round(
+        F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+    )
+    return (
+        br.select(
+            "p_type",
+            "p_brand",
+            F.col("rev").cast("double").alias("revenue"),
+            share.alias("class_share"),
+        )
+        .orderBy("p_type", "p_brand")
     )
