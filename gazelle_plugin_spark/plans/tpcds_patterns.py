@@ -22,6 +22,10 @@ part/supplier/nation as in plans/ssb.py.
                      disjunction (Catalyst ExistenceJoin)
 - ds_class_share   <- q98: brand share of its class total via a
                      partition window SUM over the pre-aggregate
+- ds_trip_mismatch <- q46/q68/q79: per-trip aggregation with a
+                     customer-attribute mismatch residual; q7/q19's
+                     star-with-residual shapes are subsumed by
+                     ds_rollup_star + this residual form
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -434,4 +438,48 @@ def ds_class_share(spark, sf_dir):
             share.alias("class_share"),
         )
         .orderBy("p_type", "p_brand")
+    )
+
+
+@query(
+    "ds_trip_mismatch",
+    oracle=f"""
+SELECT o_orderkey, c_custkey, c_name,
+       {sql_dsum(SQL_DISC_PRICE)} AS rev,
+       CAST(COUNT(*) AS BIGINT) AS n_foreign_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+WHERE s_nationkey <> c_nationkey
+GROUP BY o_orderkey, c_custkey, c_name
+ORDER BY rev DESC, o_orderkey
+LIMIT 50
+""",
+)
+def ds_trip_mismatch(spark, sf_dir):
+    """tpcds-modifiedQueries/q46.sql / q68.sql / q79.sql pattern:
+    per-trip (order) aggregation where a dimension attribute of the
+    line MISMATCHES one of the customer (q46's current-address <>
+    trip-address residual): revenue of lines shipped from a nation
+    other than the buyer's. The inequality is a residual condition on
+    the custkey equi-join (conditioned probe, as tpch q4/q21); the
+    supplier dim is broadcast, and the final top-50 is a
+    TakeOrderedAndProject over the aggregate — deterministic via the
+    (rev DESC, o_orderkey) tiebreak."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (s.s_nationkey != c.c_nationkey))
+        .groupBy("o_orderkey", "c_custkey", "c_name")
+        .agg(
+            F.sum(disc_price()).cast("double").alias("rev"),
+            F.count(F.lit(1)).alias("n_foreign_lines"),
+        )
+        .orderBy(F.desc("rev"), "o_orderkey")
+        .limit(50)
     )
