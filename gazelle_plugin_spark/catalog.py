@@ -34,12 +34,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: SQL conf required to read parquet TIMESTAMP(NANOS) columns (the
+#: events table). Engine sessions get it from session.ENGINE_CONFS;
+#: ``ensure_nanos_as_long`` covers foreign sessions (e.g. the driver's).
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Idempotently enable TIMESTAMP(NANOS)-as-long parquet reads.
+
+    Engine-built sessions already carry this conf (session.ENGINE_CONFS);
+    for sessions built elsewhere this is the documented capability
+    enable for the events table. Guarded so an already-configured
+    session is never mutated.
+    """
+    if spark.conf.get(NANOS_CONF, "false") != "true":
+        spark.conf.set(NANOS_CONF, "true")
+
+
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
         # default; read it as a long and convert ns -> us with INTEGER
         # division (float division rounds at the 1.7e18 ns scale)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_nanos_as_long(spark)
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))

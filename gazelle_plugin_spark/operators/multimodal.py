@@ -105,10 +105,14 @@ def sample_frames(df: DataFrame, blob_col: str = "blob", every_n: int = 1000) ->
     """Deterministic fake of video frame sampling: take every
     ``every_n``-th byte of the blob as a 'frame' marker — exercises
     the exploding (1 blob -> N rows) pipeline shape that real frame
-    extraction has, without a video codec."""
+    extraction has, without a video codec. A zero-length blob yields
+    zero frames (the sequence lower bound would otherwise emit one
+    phantom frame at offset 0)."""
     frames = F.expr(
-        f"transform(sequence(0, greatest(cast(length({blob_col}) as int) - 1, 0), {every_n}),"
+        f"case when length({blob_col}) > 0 then "
+        f"transform(sequence(0, cast(length({blob_col}) as int) - 1, {every_n}),"
         f" i -> struct(i as frame_offset, substr({blob_col}, i + 1, 16) as frame_chunk))"
+        f" else array() end"
     )
     return (
         df.withColumn("frame", F.explode(frames))

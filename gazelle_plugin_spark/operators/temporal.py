@@ -40,6 +40,13 @@ def asof_join(
 
     Ties (equal timestamps) resolve right-row-first, so a right row at
     exactly left_time IS visible — matching DuckDB's ASOF JOIN (>=).
+
+    The right-side values ride in ONE struct carried whole by
+    last(ignorenulls): a matched right row whose value column is NULL
+    still wins (true ASOF semantics — per-column carry would skip it
+    and surface a stale older value), and the struct doubles as the
+    final orderBy key so ties among right rows at the same timestamp
+    resolve deterministically (greatest value-tuple wins).
     """
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")
@@ -50,7 +57,7 @@ def asof_join(
         right.select(
             F.col(key),
             F.col(right_time).alias("__t"),
-            *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+            F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r_vals"),
         )
         .withColumn("__is_left", F.lit(0))
     )
@@ -62,23 +69,19 @@ def asof_join(
     # (ignorenulls) carries a same-instant right row into the left row
     w = (
         Window.partitionBy(key)
-        .orderBy("__t", "__is_left")
+        .orderBy("__t", "__is_left", F.col("__r_vals").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
+        F.last("__r_vals", ignorenulls=True).over(w).alias("__asof_vals"),
     )
     out = carried.filter(F.col("__is_left") == 1)
     for c in value_cols:
-        out = out.withColumn(c if c not in left.columns else f"asof_{c}", F.col(f"__asof_{c}"))
-    drop = ["__t", "__is_left"] + [f"__r_{c}" for c in value_cols] + [
-        f"__asof_{c}" for c in value_cols
-    ]
-    return out.drop(*drop)
+        out = out.withColumn(
+            c if c not in left.columns else f"asof_{c}", F.col(f"__asof_vals.{c}")
+        )
+    return out.drop("__t", "__is_left", "__r_vals", "__asof_vals")
 
 
 def range_join_buckets(

@@ -36,7 +36,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts_us`` (bigint epoch micros) and ``ts``
     (timestamp) columns; handles the TIMESTAMP(NANOS) parquet type."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from gazelle_plugin_spark.catalog import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
     df = t(spark, sf_dir, "events")
     return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
         "ts", F.timestamp_micros(F.col("ts_us"))

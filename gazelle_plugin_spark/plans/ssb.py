@@ -236,12 +236,15 @@ JOIN ({_SQL_SUPP_R}) s ON f.l_suppkey = s.s_suppkey
 WHERE c_region = 'ASIA' AND s_region = 'ASIA'
   AND d_year BETWEEN 1995 AND 1997
 GROUP BY c_nation, s_nation, d_year
-ORDER BY d_year, revenue DESC
+ORDER BY d_year, revenue DESC, c_nation, s_nation
 """,
 )
 def ssb3_1(spark, sf_dir):
     """SSB 3.1 (ssb/3.1.sql): symmetric customer/supplier region
-    filter, revenue by nation pair and year."""
+    filter, revenue by nation pair and year. Nation-pair tiebreakers
+    beyond the spec's ORDER BY keep equal-revenue rows in one
+    deterministic order for the order-sensitive driver hash (matching
+    ssb3_2..3_4)."""
     f = fact(spark, sf_dir).filter(F.col("d_year").between(1995, 1997))
     c = customer_dim(spark, sf_dir).filter(F.col("c_region") == "ASIA")
     s = supplier_dim(spark, sf_dir).filter(F.col("s_region") == "ASIA")
@@ -250,7 +253,7 @@ def ssb3_1(spark, sf_dir):
         .join(F.broadcast(s), f.l_suppkey == s.s_suppkey)
         .groupBy("c_nation", "s_nation", "d_year")
         .agg(F.sum(revenue()).cast("double").alias("revenue"))
-        .orderBy("d_year", F.desc("revenue"))
+        .orderBy("d_year", F.desc("revenue"), "c_nation", "s_nation")
     )
 
 

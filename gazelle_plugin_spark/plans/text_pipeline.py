@@ -47,17 +47,28 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
 
 
+def _maybe_spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the session's cores before an
+    explode — ONLY if it arrived in fewer splits than the session's
+    parallelism (the local small-parquet case). At scale the input
+    splits already parallelize, and an unconditional repartition would
+    be a pure extra pass over the corpus (round-2 verdict), so a
+    well-split input passes through exchange-free (plan-asserted in
+    tests/test_pipelines.py)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        # explicit N: a bare repartition("doc_id") would be AQE-coalesced
+        # right back to one partition (the pre-explode bytes look tiny)
+        return df.repartition(target, "doc_id")
+    return df
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per doc (docs with <3 tokens are
     skipped — guarded because Spark's sequence(1, n) runs DOWNWARD for
     n < 1 instead of returning empty)."""
     return (
-        _tokens(spark, sf_dir)
-        .filter(F.size("w") >= 3)
-        # the documents table is one small parquet split — spread the
-        # shingle/hash work across the cluster before exploding (at
-        # 100 TB the input splits provide this for free)
-        .repartition("doc_id")
+        _maybe_spread(_tokens(spark, sf_dir).filter(F.size("w") >= 3))
         .select(
             "doc_id",
             F.explode(
@@ -454,7 +465,7 @@ WITH pos AS (
          {sql_md5h60(f"substring(text, CAST(i.i AS INT), {KGRAM})")} AS h
   FROM documents,
        UNNEST(generate_series(1, length(text) - {KGRAM} + 1)) AS i(i)
-  WHERE length(text) >= {KGRAM} AND doc_id < 100
+  WHERE length(text) >= {KGRAM}
 ),
 mins AS (
   SELECT doc_id, (i - 1) // {WINNOW_WINDOW} AS w, MIN(h) AS fp
@@ -474,11 +485,10 @@ def doc_winnow_fingerprint(spark, sf_dir):
     share most selected fingerprints, enabling containment/overlap
     detection (the MOSS approach). Columnar shape: posexplode ->
     hash -> two map-side-combinable groupBys; no interpreted lambdas,
-    no shuffle of document bodies."""
-    d = (
-        t(spark, sf_dir, "documents")
-        .filter((F.length("text") >= KGRAM) & (F.col("doc_id") < 100))
-        .repartition("doc_id")
+    no shuffle of document bodies. Runs corpus-wide (the round-2
+    doc_id<100 oracle-cost cap is lifted)."""
+    d = _maybe_spread(
+        t(spark, sf_dir, "documents").filter(F.length("text") >= KGRAM)
     )
     pos = d.select(
         "doc_id",
@@ -634,7 +644,7 @@ def doc_simhash_neardup(spark, sf_dir):
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-  FROM documents WHERE doc_id < 100
+  FROM documents
 ),
 h AS (SELECT doc_id, {sql_md5h60("tok")} AS hv FROM toks),
 bits AS (
@@ -654,15 +664,20 @@ def doc_simhash(spark, sf_dir):
     weighted majority vote per bit). Computed entirely as nested array
     expressions — per-row, zero shuffles, no UDF: near-dup docs get
     fingerprints within a small Hamming distance, so at scale dedup
-    groups by a few fingerprint prefixes."""
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    groups by a few fingerprint prefixes. Runs corpus-wide (round-2
+    doc_id<100 cap lifted); the per-token hash array is materialized
+    ONCE per row, not re-hashed inside each of the 60 bit folds."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "hs",
+        F.expr(
+            "transform(split(text, ' '),"
+            " t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+        ),
+    )
     simhash = F.expr(
         """
         aggregate(sequence(0, 59), 0L, (acc, b) -> acc + if(
-          aggregate(
-            transform(split(text, ' '),
-                      t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-            0L,
+          aggregate(hs, 0L,
             (a, h) -> a + if((h div shiftleft(1L, b)) % 2 = 1, 1L, -1L)
           ) > 0, shiftleft(1L, b), 0L))
         """

@@ -50,6 +50,10 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timezone so datetime expressions match the oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Read parquet TIMESTAMP(NANOS) (the events table) as long —
+    # set in the profile so no read path has to mutate session conf
+    # (catalog.ensure_nanos_as_long covers foreign sessions).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Reasonable local-mode shuffle width; override per deployment.
     "spark.sql.shuffle.partitions": "32",
     # Read 128 MB splits at scan — keeps 100 TB scans at ~800k tasks,

@@ -152,31 +152,63 @@ _GAP_US = 30 * 60 * 1_000_000
 
 
 def _session_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    flush_open: bool = False,
 ) -> Iterator[pd.DataFrame]:
-    """Custom stateful sessionizer: fold each micro-batch's rows (in
+    """Custom stateful sessionizer: fold the micro-batch's rows (in
     ts order) into the open-session state; emit a row whenever a >gap
     silence closes a session. The open session persists in state
-    across micro-batches."""
+    across micro-batches.
+
+    A key's micro-batch may arrive as SEVERAL pandas chunks — rows are
+    concatenated and sorted ONCE before folding (sorting per chunk
+    would let out-of-order rows across chunk boundaries close/split
+    sessions incorrectly). Under an event-time timeout
+    (``sessionize_stateful(flush_open=True)``) an expired key flushes
+    its open session and clears state."""
     (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed the open session's gap horizon: no more
+        # rows can extend it — emit it as closed and drop the state
+        start_us, last_us, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": pd.to_datetime([start_us], unit="us"),
+                "session_end": pd.to_datetime([last_us], unit="us"),
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+        return
     if state.exists:
         start_us, last_us, n, total = state.get
     else:
         start_us = last_us = n = 0
         total = 0.0
     closed: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for ts, value in zip(pdf["ts"], pdf["value"]):
-            ts_us = int(pd.Timestamp(ts).value // 1_000)
-            if n == 0:
-                start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
-            elif ts_us - last_us > _GAP_US:
-                closed.append((user_id, start_us, last_us, n, total))
-                start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
-            else:
-                last_us, n, total = ts_us, n + 1, total + float(value)
+    chunks = list(pdfs)
+    rows = (
+        pd.concat(chunks, ignore_index=True).sort_values("ts")
+        if chunks
+        else pd.DataFrame(columns=["ts", "value"])
+    )
+    for ts, value in zip(rows["ts"], rows["value"]):
+        ts_us = int(pd.Timestamp(ts).value // 1_000)
+        if n == 0:
+            start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
+        elif ts_us - last_us > _GAP_US:
+            closed.append((user_id, start_us, last_us, n, total))
+            start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
+        else:
+            last_us, n, total = ts_us, n + 1, total + float(value)
     state.update((start_us, last_us, n, total))
+    if flush_open:
+        # under EventTimeTimeout, arm the flush for gap-after-last-event
+        state.setTimeoutTimestamp(last_us // 1000 + _GAP_US // 1000)
     if closed:
         out = pd.DataFrame(
             closed,
@@ -193,16 +225,32 @@ def _session_fn(
         )
 
 
-def sessionize_stateful(events: DataFrame) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame, flush_open: bool = False, watermark: str = SESSION_GAP
+) -> DataFrame:
     """Custom stateful-operator sessionization via
     applyInPandasWithState — the pattern for semantics the built-ins
     can't express (here: the same gap rule as ``sessionize``, but with
     arbitrary per-session logic possible in the fold). Emits CLOSED
-    sessions; the open session per user stays in the state store."""
-    return events.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+    sessions; the open session per user stays in the state store.
+
+    With ``flush_open=True`` an event-time timeout fires once the
+    watermark passes an idle session's gap horizon: the open session
+    is emitted and its state evicted — without it, a user who stops
+    sending events holds state forever (the 100 TB/day leak)."""
+    from functools import partial
+
+    fn = partial(_session_fn, flush_open=flush_open)
+    src = events
+    timeout = GroupStateTimeout.NoTimeout
+    if flush_open:
+        timeout = GroupStateTimeout.EventTimeTimeout
+        if events.isStreaming:
+            src = events.withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

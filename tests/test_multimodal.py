@@ -58,3 +58,13 @@ def test_sample_frames_explodes(docs):
         assert len(by_doc[row.doc_id]) == n_frames
         first = min(by_doc[row.doc_id], key=lambda r: r.frame_offset)
         assert bytes(first.frame_chunk) == row.text.encode()[:16]
+
+
+def test_sample_frames_empty_blob_yields_no_frames(spark):
+    """A zero-length blob must produce ZERO frame rows (the sequence
+    lower bound would otherwise emit a phantom frame at offset 0 —
+    breaking parity with the generate_series oracle)."""
+    d = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    out = sample_frames(attach_blob(d), every_n=2)
+    got = {(r.doc_id, r.frame_offset) for r in out.collect()}
+    assert got == {(1, 0), (1, 2)}

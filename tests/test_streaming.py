@@ -114,3 +114,67 @@ def test_stateful_sessionize_closed_sessions(spark, events_dir):
     got_r = {(r.user_id, r.session_start, r.n_events, round(r.total_value, 6)) for r in got.collect()}
     exp_r = {(r.user_id, r.session_start, r.n_events, round(r.total_value, 6)) for r in expected.collect()}
     assert got_r == exp_r
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing _session_fn."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.timeout_ts = None
+        self.removed = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_ts = ts_ms
+
+
+def test_session_fn_sorts_across_chunk_boundaries():
+    """One key's micro-batch arriving as SEVERAL pandas chunks must be
+    folded in global ts order: chunk-local sorting would see the
+    out-of-order row as a >gap silence and split the session."""
+    import pandas as pd
+    from gazelle_plugin_spark.streaming.pipeline import _GAP_US, _session_fn
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    gap = pd.Timedelta(microseconds=_GAP_US + 1_000_000)
+    # chunk 1 holds the LAST event, chunk 2 the first two: one session
+    chunk1 = pd.DataFrame({"ts": [t0 + pd.Timedelta("2 min")], "value": [3.0]})
+    chunk2 = pd.DataFrame({"ts": [t0, t0 + pd.Timedelta("1 min")], "value": [1.0, 2.0]})
+    # plus a second session >gap after the last event so exactly one
+    # close is emitted
+    chunk3 = pd.DataFrame({"ts": [t0 + pd.Timedelta("2 min") + gap], "value": [9.0]})
+    state = _FakeState()
+    out = list(_session_fn((7,), iter([chunk1, chunk2, chunk3]), state))
+    assert len(out) == 1 and len(out[0]) == 1
+    closed = out[0].iloc[0]
+    assert closed["n_events"] == 3 and closed["total_value"] == 6.0
+    # the open (second) session stays in state
+    assert state.exists and state.get[2] == 1
+
+
+def test_session_fn_timeout_flushes_open_session():
+    """Under EventTimeTimeout an expired key emits its open session
+    and evicts state (idle users must not hold state forever)."""
+    from gazelle_plugin_spark.streaming.pipeline import _session_fn
+
+    state = _FakeState(value=(1_000_000, 2_000_000, 4, 10.0), timed_out=True)
+    out = list(_session_fn((7,), iter([]), state, flush_open=True))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["n_events"], row["total_value"]) == (4, 10.0)
+    assert state.removed
