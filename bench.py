@@ -4,11 +4,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Modes:
-  python bench.py [names...]            engine session (tuned profile)
-  python bench.py --vanilla [names...]  default-conf Spark session
-  python bench.py --compare [names...]  engine then vanilla; the JSON
-      gains "vanilla_total" and "geomean_speedup_vs_vanilla" so the
-      BASELINE.md within-2x-of-vanilla gate is measured, not presumed.
+  python bench.py [names...]            engine THEN vanilla (compare is
+      the default since round 3: the JSON carries "vanilla_total" and
+      "geomean_speedup_vs_vanilla", so every recorded BENCH_r{N}.json
+      is self-normalizing — a loaded sandbox shows ~1.0 geomean instead
+      of masquerading as a regression; round-2 verdict item 10)
+  python bench.py --no-compare [names...]  engine only
+  python bench.py --vanilla [names...]     default-conf Spark session only
 
 The headline set is the 22 TPC-H-derived queries (matching
 BENCH_r01.json and the reference's Decision Support Benchmark1);
@@ -65,7 +67,7 @@ def main() -> None:
 
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
-    compare = "--compare" in args
+    compare = "--no-compare" not in args and not vanilla
     args = [a for a in args if not a.startswith("--")]
 
     from gazelle_plugin_spark.plans import all_queries

@@ -81,9 +81,11 @@ def shuffled_hash_join(
 def sort_merge_join(
     left: DataFrame, right: DataFrame, on: JoinOn, how: str = "inner"
 ) -> DataFrame:
-    """ColumnarSortMergeJoinExec analog via the MERGE hint. Like the
-    reference (ColumnarGuardRule.scala:208 excludes FullOuter) SMJ is
-    the scale path; unlike it, full-outer IS supported here."""
+    """ColumnarSortMergeJoinExec analog via the MERGE hint. SMJ is
+    the scale path; unlike the reference (ColumnarGuardRule.scala:208
+    excludes FullOuter from columnar SMJ) full-outer IS supported —
+    exercised by the rel_full_outer oracle query and
+    tests/test_operators.py::test_full_outer_join_extends_both_sides."""
     return left.join(right.hint("MERGE"), on, _check_how(how))
 
 

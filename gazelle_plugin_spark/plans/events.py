@@ -142,6 +142,58 @@ def events_json_stats(spark, sf_dir):
 
 
 @query(
+    "events_json_edges",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(doc, '$.a.b') AS BIGINT) AS nested_b,
+       CAST(json_extract_string(doc, '$.a.arr[1]') AS INT) AS arr_idx1,
+       json_extract_string(doc, '$.a.arr[5]') AS arr_oob,
+       json_extract_string(doc, '$.no.such.path') AS missing_path,
+       json_extract_string(doc, '$.dup') AS dup_key,
+       json_extract_string(doc, '$.nul') AS null_lit,
+       json_extract_string(doc, '$.s') AS str_val
+FROM (
+  SELECT event_id,
+         '{"a": {"b": ' || CAST(event_id AS VARCHAR)
+           || ', "arr": [1, 2, 3]}, "dup": 1, "dup": 2, "nul": null, "s": "x'
+           || CAST(user_id AS VARCHAR) || '"}' AS doc
+  FROM events WHERE event_id < 200
+)
+ORDER BY event_id
+""",
+)
+def events_json_edges(spark, sf_dir):
+    """GetJsonObject EDGE semantics (reference caveats:
+    docs/Expressions-Compatibility.md:8-9 — Gazelle diverged on quote
+    handling and duplicate keys; we follow Spark, and this query pins
+    the subset where Spark and DuckDB agree): nested paths, array
+    indexing, out-of-bounds index -> NULL, missing path -> NULL,
+    duplicate keys -> FIRST wins (both engines), JSON null -> SQL
+    NULL, plain string extraction. Single-quoted documents (Spark
+    tolerates, DuckDB rejects) are pinned Spark-side in
+    tests/test_plans.py::test_get_json_object_spark_edges."""
+    e = events(spark, sf_dir).filter(F.col("event_id") < 200)
+    doc = F.concat(
+        F.lit('{"a": {"b": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "arr": [1, 2, 3]}, "dup": 1, "dup": 2, "nul": null, "s": "x'),
+        F.col("user_id").cast("string"),
+        F.lit('"}'),
+    )
+    j = lambda p: F.get_json_object(doc, p)
+    return e.select(
+        "event_id",
+        j("$.a.b").cast("long").alias("nested_b"),
+        j("$.a.arr[1]").cast("int").alias("arr_idx1"),
+        j("$.a.arr[5]").alias("arr_oob"),
+        j("$.no.such.path").alias("missing_path"),
+        j("$.dup").alias("dup_key"),
+        j("$.nul").alias("null_lit"),
+        j("$.s").alias("str_val"),
+    ).orderBy("event_id")
+
+
+@query(
     "events_user_topk",
     oracle=_EVENTS_CTE
     + """

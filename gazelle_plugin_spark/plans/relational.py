@@ -334,6 +334,46 @@ def rel_shj(spark, sf_dir):
 
 
 @query(
+    "rel_full_outer",
+    oracle="""
+SELECT COALESCE(c.nk, s.nk2) AS nk, c_cnt, s_cnt
+FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS c_cnt
+      FROM customer WHERE c_acctbal < -900 GROUP BY 1) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk2, CAST(COUNT(*) AS BIGINT) AS s_cnt
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+ON c.nk = s.nk2
+ORDER BY nk
+""",
+)
+def rel_full_outer(spark, sf_dir):
+    """FULL OUTER sort-merge join — the one equi-join type the
+    reference EXCLUDED from columnar execution
+    (ColumnarGuardRule.scala:208 guards SMJ FullOuter back to row
+    execution; Spark's SMJ supports it natively). Per-nation
+    deep-debtor customers vs rich suppliers: the acctbal filters leave
+    each side covering a partial, different nation set, so both
+    null-extension directions are exercised (and the local non-vacuity
+    gate keeps them non-empty)."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < -900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk2"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    j = joins.sort_merge_join(c, s, c.nk == s.nk2, "full_outer")
+    return j.select(
+        F.coalesce("nk", "nk2").alias("nk"), "c_cnt", "s_cnt"
+    ).orderBy("nk")
+
+
+@query(
     "rel_cross_join",
     oracle="""
 SELECT r.r_name, n.n_name

@@ -26,6 +26,13 @@ part/supplier/nation as in plans/ssb.py.
                      customer-attribute mismatch residual; q7/q19's
                      star-with-residual shapes are subsumed by
                      ds_rollup_star + this residual form
+- ds_intersect_yoy <- resources/tpcds/q14a.sql: chained INTERSECT
+                     builds the sold-in-all-channels item set, then
+                     restricts the current-period aggregate to it
+- ds_union_agg     <- resources/tpcds/q33.sql/q56.sql: same aggregate
+                     in N channel branches, UNION ALL, re-aggregate
+- ds_double_exists <- resources/tpcds/q95.sql: double EXISTS (fact
+                     self-join inequality + returns probe)
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -482,4 +489,180 @@ def ds_trip_mismatch(spark, sf_dir):
         )
         .orderBy(F.desc("rev"), "o_orderkey")
         .limit(50)
+    )
+
+
+@query(
+    "ds_intersect_yoy",
+    oracle=f"""
+WITH y95 AS (SELECT DISTINCT l_partkey FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             WHERE year(o_orderdate) = 1995),
+y96 AS (SELECT DISTINCT l_partkey FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1996),
+y97 AS (SELECT DISTINCT l_partkey FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1997),
+common AS (SELECT l_partkey FROM y95
+           INTERSECT SELECT l_partkey FROM y96
+           INTERSECT SELECT l_partkey FROM y97)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE year(o_orderdate) = 1997
+  AND l_partkey IN (SELECT l_partkey FROM common)
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def ds_intersect_yoy(spark, sf_dir):
+    """resources/tpcds/q14a.sql pattern (cross-channel INTERSECT):
+    q14 builds the item set sold through ALL of store/catalog/web via
+    chained INTERSECTs, then aggregates current sales over that set.
+    The driver schema has one channel, so the INTERSECT runs
+    year-over-year: parts sold in 1995 AND 1996 AND 1997, then 1997
+    revenue per brand restricted to that set. Plan shape: two
+    INTERSECT lowerings (semi join + dedup) feeding a left-semi
+    restriction of the fact — the dedup'd part set stays small, so
+    Catalyst broadcasts it; the fact streams once."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+
+    def parts_of_year(y):
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.year("o_orderdate") == y)
+            .select("l_partkey")
+            .distinct()
+        )
+
+    from gazelle_plugin_spark.operators import setops
+
+    common = setops.intersect(
+        setops.intersect(parts_of_year(1995), parts_of_year(1996)),
+        parts_of_year(1997),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.year("o_orderdate") == 1997)
+        .join(common, "l_partkey", "left_semi")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(disc_price()).cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_union_agg",
+    oracle=f"""
+WITH branches AS (
+  SELECT p_brand, SUM({SQL_DISC_PRICE}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'A' GROUP BY p_brand
+  UNION ALL
+  SELECT p_brand, SUM({SQL_DISC_PRICE}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'N' GROUP BY p_brand
+  UNION ALL
+  SELECT p_brand, SUM({SQL_DISC_PRICE}) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R' GROUP BY p_brand
+)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_channels,
+       CAST(SUM(rev) AS DOUBLE) AS total_rev
+FROM branches
+GROUP BY p_brand
+ORDER BY total_rev DESC, p_brand
+LIMIT 20
+""",
+)
+def ds_union_agg(spark, sf_dir):
+    """resources/tpcds/q33.sql / q56.sql pattern (union of
+    aggregates): the same per-brand aggregate computed in three
+    channel branches (returnflag standing in for store/catalog/web),
+    UNION ALL'd and re-aggregated into a cross-channel total, top-20.
+    Branch sums stay DECIMAL until the final cast so the re-aggregate
+    is exact and order-independent; each branch is map-side-combined
+    before the union, so the re-aggregate shuffles only |brands|x3
+    rows."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+
+    def branch(flag):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum(disc_price()).alias("rev"))
+        )
+
+    from gazelle_plugin_spark.operators import setops
+
+    branches = setops.union_all(setops.union_all(branch("A"), branch("N")), branch("R"))
+    return (
+        branches.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_channels"),
+            F.sum("rev").cast("double").alias("total_rev"),
+        )
+        .orderBy(F.desc("total_rev"), "p_brand")
+        .limit(20)
+    )
+
+
+@query(
+    "ds_double_exists",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem l1
+              WHERE l1.l_orderkey = o_orderkey
+                AND EXISTS (SELECT 1 FROM lineitem l2
+                            WHERE l2.l_orderkey = l1.l_orderkey
+                              AND l2.l_suppkey <> l1.l_suppkey))
+  AND EXISTS (SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = o_orderkey AND l3.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def ds_double_exists(spark, sf_dir):
+    """resources/tpcds/q95.sql pattern (double EXISTS over a
+    self-joined fact): q95 keeps web orders that (a) shipped from more
+    than one warehouse — an EXISTS over a ws x ws self-join on the
+    order number with warehouse inequality — and (b) have a return.
+    Here: orders whose lines involve >= 2 distinct suppliers AND that
+    have a returned line. Both EXISTS become left-semi joins against
+    small derived sets (multi-supplier orderkeys via a countDistinct
+    HAVING, returned orderkeys via filter+distinct) — the orders fact
+    streams once; no correlated re-scan per row."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    return (
+        o.join(multi_supp, o.o_orderkey == multi_supp.l_orderkey, "left_semi")
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -98,7 +98,13 @@ LIMIT 100
 def q2(spark, sf_dir):
     """Best supplier per part (tpch/q2.sql; partsupp replaced by the
     lineitem part<->supplier linkage, min supplycost -> max acctbal).
-    Multi-join + correlated scalar subquery (planned as agg+join)."""
+    Multi-join + correlated scalar subquery — the MAX-per-part
+    threshold is a single-pass window (max over partition by
+    l_partkey) instead of the classic agg + self-join of the linked
+    fact: one shuffle on l_partkey, the probe side is read once
+    (round-2 verdict item 9)."""
+    from pyspark.sql import Window
+
     part = t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
     supplier = t(spark, sf_dir, "supplier")
     lineitem = t(spark, sf_dir, "lineitem")
@@ -113,11 +119,11 @@ def q2(spark, sf_dir):
     linked = lineitem.select("l_partkey", "l_suppkey").join(
         eu_sup, lineitem.l_suppkey == eu_sup.s_suppkey
     )
-    best = linked.groupBy("l_partkey").agg(F.max("s_acctbal").alias("max_acctbal"))
+    w = Window.partitionBy("l_partkey")
     return (
-        linked.join(best, "l_partkey")
+        linked.withColumn("max_acctbal", F.max("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("max_acctbal"))
-        .join(part, linked.l_partkey == part.p_partkey)
+        .join(F.broadcast(part), linked.l_partkey == part.p_partkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .distinct()
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")

@@ -290,3 +290,23 @@ def test_window_agg_frames(spark):
     out = window.window_agg(df, spec, {"running": F.sum("x")})
     got = {(r["g"], r["seq"], r["running"]) for r in out.collect()}
     assert got == {(1, 1, 10.0), (1, 2, 30.0), (1, 3, 60.0), (2, 1, 5.0)}
+
+
+def test_full_outer_join_extends_both_sides(spark):
+    """FULL OUTER through hash_join/sort_merge_join: unmatched rows on
+    EACH side survive null-extended (the join type the reference
+    excluded from columnar SMJ, ColumnarGuardRule.scala:208)."""
+    from gazelle_plugin_spark.operators import joins
+
+    l = spark.createDataFrame([(1, "a"), (2, "b")], "k long, lv string")
+    r = spark.createDataFrame([(2, "x"), (3, "y")], "rk long, rv string")
+    for fn in (joins.hash_join, joins.sort_merge_join):
+        got = {
+            (row.k, row.lv, row.rk, row.rv)
+            for row in fn(l, r, l.k == r.rk, "full_outer").collect()
+        }
+        assert got == {
+            (1, "a", None, None),
+            (2, "b", 2, "x"),
+            (None, None, 3, "y"),
+        }, fn.__name__

@@ -59,3 +59,22 @@ def test_unsupported_operation_error_discipline(spark):
         joins.hash_join(a, a, "id", how="left_semi_oops")
     with pytest.raises(UnsupportedOperationError, match="build="):
         joins.broadcast_hash_join(a, a, "id", build="middle")
+
+
+def test_driver_window_is_a_family_cross_section():
+    """The driver verifies only the FIRST 50 exported queries — pin
+    that the curated window (a) leads every export, (b) starts with q1
+    (entry() depends on it), (c) is fully oracled, and (d) covers one+
+    representative per operator family."""
+    from gazelle_plugin_spark.plans import DRIVER_WINDOW, all_oracles, all_queries
+
+    qs, os_ = all_queries(), all_oracles()
+    assert len(DRIVER_WINDOW) == 50
+    assert list(qs)[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
+    assert DRIVER_WINDOW[0] == "q1"
+    missing_oracle = [n for n in DRIVER_WINDOW if n not in os_]
+    assert not missing_oracle, f"window entries without oracle: {missing_oracle}"
+    for family in ("doc_", "emb_", "events_", "rel_", "expr_", "mm_", "ds_"):
+        assert any(n.startswith(family) for n in DRIVER_WINDOW), family
+    # every registered query is still exported (demotion ≠ removal)
+    assert len(qs) >= 100
