@@ -171,7 +171,7 @@ def events_json_edges(spark, sf_dir):
     duplicate keys -> FIRST wins (both engines), JSON null -> SQL
     NULL, plain string extraction. Single-quoted documents (Spark
     tolerates, DuckDB rejects) are pinned Spark-side in
-    tests/test_plans.py::test_get_json_object_spark_edges."""
+    tests/test_edge_semantics.py::test_get_json_object_spark_edges."""
     e = events(spark, sf_dir).filter(F.col("event_id") < 200)
     doc = F.concat(
         F.lit('{"a": {"b": '),
@@ -497,4 +497,46 @@ def events_hourly(spark, sf_dir):
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
         .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "events_ntile",
+    oracle=_EVENTS_CTE
+    + """
+SELECT user_id, event_id,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTH_VALUE(event_id, 2) OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS BIGINT) AS second_best
+FROM e
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+ORDER BY user_id, event_id
+""",
+)
+def events_ntile(spark, sf_dir):
+    """ntile / percent_rank / cume_dist / nth_value — the window
+    functions the reference LACKED entirely (SURVEY.md §2.5 'Missing
+    vs Spark: dense_rank, percent_rank, ntile, lead, first/last_value,
+    cume_dist'); with events_lag_lead this completes that list as
+    oracle-verified built-ins. Ranks are deterministic via the
+    (value DESC, event_id) total order; the two ratio functions are
+    single divisions of identical ints, rounded before hashing."""
+    e = events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("event_id", 2).over(w_full).alias("second_best"),
+        )
+        .orderBy("user_id", "event_id")
     )

@@ -33,6 +33,8 @@ part/supplier/nation as in plans/ssb.py.
                      in N channel branches, UNION ALL, re-aggregate
 - ds_double_exists <- resources/tpcds/q95.sql: double EXISTS (fact
                      self-join inequality + returns probe)
+- ds_except_churn  <- resources/tpcds/q87.sql: multi-block EXCEPT
+                     (year-over-year churn on the one-channel schema)
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -665,4 +667,49 @@ def ds_double_exists(spark, sf_dir):
             F.sum(dec("o_totalprice")).cast("double").alias("total"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "ds_except_churn",
+    oracle="""
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+churned AS (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_churned,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS lost_bal
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM churned)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def ds_except_churn(spark, sf_dir):
+    """Churn via EXCEPT (the q87-style multi-block EXCEPT shape —
+    resources/tpcds/q87.sql chains two EXCEPTs across channels;
+    one-channel schema, so year-over-year): customers active in 1996
+    but not 1997, rolled up by market segment. EXCEPT lowers to a
+    left-anti join + dedup over the two distinct key sets; the
+    customer dim is then semi-join-restricted — three shuffles on the
+    custkey, fact scanned twice with the year filters pushed."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+
+    def custs_of_year(y):
+        return (
+            o.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+        )
+
+    from gazelle_plugin_spark.operators import setops
+
+    churned = setops.except_(custs_of_year(1996), custs_of_year(1997))
+    return (
+        c.join(churned, c.c_custkey == churned.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_churned"),
+            F.sum(dec("c_acctbal")).cast("double").alias("lost_bal"),
+        )
+        .orderBy("c_mktsegment")
     )

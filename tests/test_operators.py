@@ -173,6 +173,34 @@ def test_asof_join_edges(spark):
     assert got == {1: None, 2: None, 3: 2.0, 4: 2.0}
 
 
+def test_asof_join_null_value_row_wins(spark):
+    """A matched right row whose VALUE column is NULL must win over an
+    older non-null row (true ASOF semantics, matching DuckDB: the
+    struct-carry keeps the whole matched row; per-column
+    last(ignorenulls) would skip it and surface the stale 1.0)."""
+    from gazelle_plugin_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1, 30)], "id int, k int, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, None)], "k int, t long, v double"
+    )
+    out = asof_join(left, right, "k", "t", "t", ["v"]).collect()
+    assert len(out) == 1 and out[0].v is None
+
+
+def test_asof_join_multi_value_cols_stay_row_consistent(spark):
+    """Two value columns from the SAME right row arrive together —
+    never a mix of rows (the per-column-carry hazard)."""
+    from gazelle_plugin_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1, 30)], "id int, k int, t long")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0, "a"), (1, 20, None, "b")], "k int, t long, v double, s string"
+    )
+    row = asof_join(left, right, "k", "t", "t", ["v", "s"]).collect()[0]
+    assert (row.v, row.s) == (None, "b")
+
+
 def test_range_join_buckets_boundaries(spark):
     from gazelle_plugin_spark.operators.temporal import range_join_buckets
 
