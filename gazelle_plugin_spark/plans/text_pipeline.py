@@ -27,7 +27,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gazelle_plugin_spark.plans import query
@@ -334,17 +334,33 @@ def doc_minhash_neardup(spark, sf_dir):
 #: rare, so recall is unaffected (pytest pins it against MinHash).
 NGRAM_DF_MAX = 20
 
+#: Prefix-filter length for Jaccard >= 0.8 (Chaudhuri/Bayardo
+#: set-similarity-join prefix principle): two sets with J >= t MUST
+#: share one of each other's first |d| - ceil(t*|d|) + 1 shingles when
+#: every doc orders its shingles by one global ordering (rarest
+#: first). Integer form of ceil(0.8n): (4n + 4) div 5 — identical in
+#: both engines, no float ceil hazard.
+_SQL_PREFIX_LEN = "(n - (4 * n + 4) // 5 + 1)"
+
 
 @query(
     "doc_ngram_jaccard",
     oracle=f"""
 WITH sh AS ({_SQL_SHINGLES}),
 df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s
-         WHERE df.df <= {NGRAM_DF_MAX}),
+ranked AS (
+  SELECT sh.doc_id, sh.s, df.df,
+         ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY df.df, sh.s) AS rn,
+         COUNT(*) OVER (PARTITION BY sh.doc_id) AS n
+  FROM sh JOIN df ON sh.s = df.s
+),
+prefix AS (
+  SELECT doc_id, s FROM ranked
+  WHERE rn <= {_SQL_PREFIX_LEN} AND df <= {NGRAM_DF_MAX}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -364,17 +380,22 @@ ORDER BY d1, d2
 )
 def doc_ngram_jaccard(spark, sf_dir):
     """Direct n-gram Jaccard near-dup join (the deterministic fourth
-    dedup family, vs the probabilistic MinHash route): an inverted
-    index on 3-gram shingles generates candidate pairs from shingles
-    shared by few documents (document-frequency pruning, the standard
-    set-similarity-join trick), then exact Jaccard over ALL shingles
-    verifies candidates only.
+    dedup family, vs the probabilistic MinHash route): PREFIX-FILTERED
+    inverted-index candidates + exact Jaccard verify over ALL
+    shingles.
 
-    Scale shape: the candidate self-join shuffles on the shingle, and
-    the DF cap bounds each shingle's bucket at {NGRAM_DF_MAX} docs, so
-    join cost is <= DF_MAX x total postings — linear in corpus size,
-    never n^2. Unlike MinHash this has NO false negatives among pairs
-    sharing >=1 rare shingle (at J>=0.8 that is all of them)."""
+    Candidate generation uses the set-similarity-join prefix
+    principle: order each doc's shingles rarest-first (global df,
+    shingle text as tiebreak); a J >= 0.8 pair must share one of each
+    doc's first |d| - ceil(0.8|d|) + 1 (~0.2|d|) shingles, so only
+    that prefix feeds the self-join. Round-2's df-cap-only pruning
+    produced 1.1M candidates for 256 true pairs at sf0.1 (the
+    verify join dominated); the prefix filter is the structural fix —
+    candidates now grow with true-pair density, not corpus size. The
+    df <= {NGRAM_DF_MAX} guard additionally bounds every join bucket.
+    NO false negatives among pairs whose prefixes hold >= 1
+    sub-DF_MAX shingle (at J >= 0.8, all planted pairs — pinned
+    against MinHash recall in tests/test_pipelines.py)."""
     # the shingle set feeds five plan branches; measured at sf0.1,
     # recomputing the (cheap, codegen'd) explosion per branch beats a
     # .persist() barrier — caching blinds AQE's runtime replanning. At
@@ -382,13 +403,21 @@ def doc_ngram_jaccard(spark, sf_dir):
     # choice belongs to the caller (sources/io.py cache_columnar).
     sh = _shingles(spark, sf_dir)
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(dfreq.filter(F.col("df") <= NGRAM_DF_MAX), "s").select(
-        "doc_id", "s"
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_size = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_size))
     )
+    prefix = ranked.filter(
+        (F.col("rn") <= F.expr(_SQL_PREFIX_LEN.replace("//", "div")))
+        & (F.col("df") <= NGRAM_DF_MAX)
+    ).select("doc_id", "s")
     cand = (
-        rare.alias("a")
+        prefix.alias("a")
         .join(
-            rare.alias("b"),
+            prefix.alias("b"),
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

@@ -35,6 +35,9 @@ part/supplier/nation as in plans/ssb.py.
                      self-join inequality + returns probe)
 - ds_except_churn  <- resources/tpcds/q87.sql: multi-block EXCEPT
                      (year-over-year churn on the one-channel schema)
+- ds_rollup_rank   <- resources/tpcds/q67.sql: RANK <= k over a ROLLUP
+                     aggregate — the reference's LocalRankWindow
+                     rewrite target (WindowGroupLimit in Spark)
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -712,4 +715,58 @@ def ds_except_churn(spark, sf_dir):
             F.sum(dec("c_acctbal")).cast("double").alias("lost_bal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "ds_rollup_rank",
+    oracle=f"""
+WITH agg AS (
+  SELECT p_type, p_brand,
+         CAST(GROUPING(p_type, p_brand) AS BIGINT) AS gid,
+         {sql_dsum(SQL_DISC_PRICE)} AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY ROLLUP (p_type, p_brand)
+)
+SELECT p_type, p_brand, gid, rev, rk FROM (
+  SELECT p_type, p_brand, gid, rev,
+         CAST(RANK() OVER (PARTITION BY p_type
+              ORDER BY rev DESC, p_brand ASC NULLS FIRST) AS INT) AS rk
+  FROM agg
+)
+WHERE rk <= 3
+ORDER BY p_type NULLS FIRST, rk, p_brand NULLS FIRST
+""",
+)
+def ds_rollup_rank(spark, sf_dir):
+    """resources/tpcds/q67.sql pattern: RANK over a ROLLUP — the exact
+    query class the reference built its one genuine optimizer novelty
+    for (LocalWindowExec + LocalRankWindow rewrite,
+    OptimizerOverrides.scala:39-218: partial rank + filter BEFORE the
+    shuffle). Spark >= 3.5 plans the same optimization natively as
+    WindowGroupLimit (plan-asserted in tests/test_plans.py), so the
+    rank <= 3 filter prunes per-map-partition before the exchange.
+    Each p_type partition contains its brand rows AND the rollup
+    subtotal row (gid=1, always rank 1 at total revenue) — null
+    ordering pinned explicitly on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(disc_price()).cast("double").alias("rev"),
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy(
+        F.desc("rev"), F.asc_nulls_first("p_brand")
+    )
+    return (
+        agg.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_type", "p_brand", "gid", "rev", "rk")
+        .orderBy(
+            F.asc_nulls_first("p_type"), "rk", F.asc_nulls_first("p_brand")
+        )
     )

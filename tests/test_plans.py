@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from gazelle_plugin_spark.plans import all_queries
 from gazelle_plugin_spark.plans._util import t
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MED, SF_SMALL
 
 QUERIES = all_queries()
 
@@ -129,3 +129,20 @@ def test_exists_disjunction_plans_existence_join(spark):
     df = all_queries()["ds_exists_disjunction"](spark, SF_MED)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ExistenceJoin" in plan, plan
+
+
+def test_rollup_rank_plans_window_group_limit(spark):
+    """ds_rollup_rank (q67 pattern) must trigger Spark's
+    WindowGroupLimit — the built-in analog of the reference's
+    LocalWindowExec/LocalRankWindow rank-limit pushdown
+    (OptimizerOverrides.scala:39-218): the rank<=k filter prunes
+    before the window shuffle."""
+    from gazelle_plugin_spark.plans import all_queries
+
+    plan = (
+        all_queries()["ds_rollup_rank"](spark, SF_MED)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan

@@ -102,3 +102,52 @@ def test_decimal_sum_convention_is_exact(spark, values):
     got = df.agg(F.sum(dec("x")).cast("double").alias("s")).collect()[0].s
     expected = float(sum(Decimal(f"{v:.2f}") for v in doubles))
     assert got == expected
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=14
+)
+
+
+@SETTINGS
+@given(left=asof_rows, right=asof_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join == pandas merge_asof(direction='backward') per key,
+    for arbitrary key/time multisets (incl. exact ties, empty keys,
+    duplicate timestamps). Right values are made unique per (k, t) so
+    the comparison is well-defined under ties; the value carried is a
+    function of (k, t)."""
+    import pandas as pd
+
+    ldf = spark.createDataFrame(
+        [(i, k, t_) for i, (k, t_) in enumerate(left)], "id int, k int, t long"
+    )
+    # one right row per (k, t): deterministic value = k * 1000 + t
+    r_dedup = sorted({(k, t_) for k, t_ in right})
+    rdf = spark.createDataFrame(
+        [(k, t_, float(k * 1000 + t_)) for k, t_ in r_dedup],
+        "k int, t long, v double",
+    )
+    got = {
+        r.id: r.v
+        for r in joins_temporal_asof(ldf, rdf).collect()
+    }
+    lpd = pd.DataFrame(
+        {"id": range(len(left)), "k": [k for k, _ in left], "t": [t_ for _, t_ in left]}
+    ).sort_values("t", kind="mergesort")
+    rpd = pd.DataFrame(
+        {"k": [k for k, _ in r_dedup], "t": [t_ for _, t_ in r_dedup],
+         "v": [float(k * 1000 + t_) for k, t_ in r_dedup]}
+    ).sort_values("t", kind="mergesort")
+    merged = pd.merge_asof(lpd, rpd, on="t", by="k", direction="backward")
+    expected = {
+        int(r.id): (None if pd.isna(r.v) else float(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == expected
+
+
+def joins_temporal_asof(ldf, rdf):
+    from gazelle_plugin_spark.operators.temporal import asof_join
+
+    return asof_join(ldf, rdf, "k", "t", "t", ["v"])
