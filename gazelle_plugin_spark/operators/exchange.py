@@ -42,3 +42,42 @@ def repartition_round_robin(df: DataFrame, num_partitions: int) -> DataFrame:
 def single_partition(df: DataFrame) -> DataFrame:
     """SinglePartition — everything to one task; only for tiny finals."""
     return df.coalesce(1)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with explicit key salting for EXTREME skew — the
+    manual fallback when AQE's skew-join splitting isn't enough (AQE
+    splits oversized partitions, but a single hot KEY still lands in
+    one task; salting splits the key itself).
+
+    The left (skewed) side gets a deterministic salt in [0, salt)
+    derived from row content via xxhash64 on all columns — no rand(),
+    so the plan stays deterministic/retry-safe. The right side is
+    replicated ``salt`` times via explode, so every (key, salt) bucket
+    finds its match. Cost: right side x salt — use for fact-x-dim
+    joins where dim replication is cheap, never fact-x-fact.
+
+    Reference contrast: Gazelle leaned on AQE partition resize before
+    SHJ (ShufflePartitionUtils.reoptimizeShuffledHashJoinInput); key
+    salting was out of scope. Supported how: inner / left_outer.
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left_outer"):
+        raise ValueError("salted_join supports how='inner'|'left_outer'")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l.join(
+        r,
+        (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"]),
+        how,
+    )
+    return out.drop("__salt")

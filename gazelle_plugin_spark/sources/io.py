@@ -84,3 +84,80 @@ def cache_columnar(
     CachedBatchSerializer stores compressed columnar batches; repeat
     scans replay them without re-reading the source."""
     return df.persist(level)
+
+
+def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Arrow IPC (Feather v2) reader — the engine's analog
+    of the reference's Arrow Dataset source (ArrowDataSourceV2 reads
+    its formats through Arrow; SURVEY.md §2.1). Spark has no native
+    IPC format, so files are listed by the binaryFile source (split
+    across executors like any scan) and each is decoded EXECUTOR-SIDE
+    with pyarrow inside mapInArrow — blobs never visit the driver;
+    per-file parallelism matches the file layout (write one file per
+    partition, as write_arrow_ipc does).
+
+    Schema comes from reading only the FIRST batch's schema on the
+    driver (a footer-sized read, not a data scan)."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = spark.read.format("binaryFile").load(path)
+
+    # driver-side schema probe: one file's IPC schema block
+    probe = files.select("path").limit(1).collect()
+    if not probe:
+        raise UnsupportedOperationError(
+            f"no files under {path!r}", "a non-empty IPC directory"
+        )
+    local = probe[0].path.removeprefix("file:")
+    with ipc.open_file(pa.memory_map(local)) as rd:
+        schema = rd.schema
+    spark_schema = from_arrow_schema(schema)
+
+    def decode(batches):
+        for batch in batches:  # binaryFile rows: (path, ..., content)
+            cols = batch.column_names
+            for row in range(batch.num_rows):
+                content = batch.column(cols.index("content"))[row].as_py()
+                with ipc.open_file(pa.BufferReader(content)) as rd:
+                    for i in range(rd.num_record_batches):
+                        yield rd.get_batch(i)
+
+    return files.select("path", "content").mapInArrow(decode, spark_schema)
+
+
+def write_arrow_ipc(df: DataFrame, path: str) -> int:
+    """Distributed Arrow IPC (Feather v2) writer — ArrowFileFormat
+    sink analog (ArrowWriteExtension.scala:43-108 smuggles Arrow
+    batches through the row-writer API; here each PARTITION serializes
+    its Arrow batches straight to one IPC file, executor-side; empty
+    partitions write nothing). Returns the row count written.
+
+    Executors write directly to ``path`` — local mode or a shared
+    filesystem; an object-store deployment would swap the open() for
+    its client the same way any foreachPartition sink does."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    os.makedirs(path, exist_ok=True)
+    schema = to_arrow_schema(df.schema)
+
+    def write_part(batches):
+        writer, n = None, 0
+        for batch in batches:
+            if writer is None:
+                out = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+                writer = ipc.new_file(out, schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+        yield pa.RecordBatch.from_pylist([{"n": n}], schema=pa.schema([("n", pa.int64())]))
+
+    counts = df.mapInArrow(write_part, "n long").agg({"n": "sum"}).collect()
+    return int(counts[0][0] or 0)

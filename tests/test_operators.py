@@ -338,3 +338,43 @@ def test_full_outer_join_extends_both_sides(spark):
             (2, "b", 2, "x"),
             (None, None, 3, "y"),
         }, fn.__name__
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join == plain join on skewed data (one hot key carrying
+    ~90% of rows), for inner and left_outer incl. unmatched keys."""
+    from gazelle_plugin_spark.operators.exchange import salted_join
+
+    left = spark.range(0, 2000).selectExpr(
+        "case when id % 10 < 9 then 7 else cast(id % 100 as long) end as k",
+        "id as payload",
+    )
+    right = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(0, 50)], "rk long, label string"
+    )
+    for how in ("inner", "left_outer"):
+        got = sorted(
+            ((r.k, r.payload, r.label) for r in
+             salted_join(left, right, "k", "rk", salt=8, how=how).collect()),
+            key=str,
+        )
+        expected = sorted(
+            ((r.k, r.payload, r.label) for r in
+             left.join(right, left.k == right.rk, how).collect()),
+            key=str,
+        )
+        assert got == expected, how
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows land in multiple salt buckets (the point of
+    salting: one hot KEY no longer maps to one shuffle bucket)."""
+    from pyspark.sql import functions as F
+    from gazelle_plugin_spark.operators.exchange import salted_join
+
+    left = spark.range(0, 1000).selectExpr("7L as k", "id as payload")
+    right = spark.createDataFrame([(7, "hot")], "rk long, label string")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+    n_buckets = left.withColumn("s", lsalt).select("s").distinct().count()
+    assert n_buckets > 4  # 1000 distinct payloads spread over 8 salts
+    assert salted_join(left, right, "k", "rk", salt=8).count() == 1000
