@@ -280,7 +280,15 @@ def doc_minhash_neardup(spark, sf_dir):
     equi-join on the band signature -> exact Jaccard on candidates only
     -> keep >= 0.8. There is NO all-pairs comparison anywhere: the
     candidate join shuffles on the band signature (bucket join), and
-    verification joins shingles only for candidate docs."""
+    verification joins shingles only for candidate docs.
+
+    Measured-and-rejected optimization (round 3): deriving all 8
+    hashes from ONE md5 via 2-universal affine transforms halves the
+    hash pass (~3.5s vs ~6.6s cold at sf0.1) but the derived functions
+    are min-wise CORRELATED — recall capped at 251/256 planted pairs
+    no matter how many bands were added. Independent md5 permutations
+    keep recall at 256/256; hashing stays the embarrassingly-parallel
+    linear term at scale."""
     sh = _shingles(spark, sf_dir)
     mh = _minhash_sig(spark, sf_dir)
     band_arr = F.array(

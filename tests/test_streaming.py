@@ -178,3 +178,47 @@ def test_session_fn_timeout_flushes_open_session():
     row = out[0].iloc[0]
     assert (row["n_events"], row["total_value"]) == (4, 10.0)
     assert state.removed
+
+
+def test_stateful_sessionize_flush_open_emits_idle_sessions(spark, events_dir):
+    """flush_open=True + maxFilesPerTrigger=1: the watermark advances
+    between micro-batches, so idle users' OPEN sessions flush via
+    event-time timeout instead of living in the state store forever.
+    Robust assertions (batch boundaries are not contractual): every
+    emitted session matches a batch session exactly, the closed set is
+    fully covered, and at least one open session actually flushed."""
+    from gazelle_plugin_spark.streaming.pipeline import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(events_dir)
+    )
+    got = _run_stream(
+        spark, sessionize_stateful(stream, flush_open=True), "ssf_sink", "append"
+    )
+    got_r = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value, 6))
+        for r in got.collect()
+    }
+
+    batch = spark.read.parquet(events_dir)
+    all_sessions = sessionize(batch)
+    all_r = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value, 6))
+        for r in all_sessions.collect()
+    }
+    closed = all_sessions.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+        ),
+    ).filter(F.col("rk") > 1)
+    closed_r = {
+        (r.user_id, r.session_start, r.n_events, round(r.total_value, 6))
+        for r in closed.collect()
+    }
+    assert got_r <= all_r            # nothing invented
+    assert closed_r <= got_r         # every closed session emitted
+    assert len(got_r) > len(closed_r)  # >=1 open session flushed
