@@ -59,6 +59,18 @@ def register_grouped_agg(
     return udf
 
 
+def register_udtf(spark: SparkSession, name: str, cls: type, return_type: str):
+    """Register a Python UDTF (table function) — completes the
+    UDF/UDAF/UDTF triple the reference left on the row-fallback path
+    (SURVEY.md §2.10: 'UDAF / UDTF: none native'). Spark >= 3.5 runs
+    these Arrow-batched like pandas UDFs."""
+    from pyspark.sql.functions import udtf
+
+    wrapped = udtf(cls, returnType=return_type)
+    spark.udtf.register(name, wrapped)
+    return wrapped
+
+
 # ---------------------------------------------------------------- built-ins
 
 def _url_decode(s: pd.Series) -> pd.Series:
@@ -95,8 +107,25 @@ def _geo_mean(v: pd.Series) -> float:
     return float(math.exp((x.map(math.log)).mean()))
 
 
+class _SplitNgrams:
+    """Built-in UDTF example: explode a string into its word n-grams
+    with positions — the lateral-view shape (1 row -> N rows with
+    extra computed columns) that a plain scalar UDF can't produce."""
+
+    def eval(self, text: str, n: int):  # noqa: A002
+        if text is None:
+            return
+        words = text.split(" ")
+        for i in range(max(len(words) - n + 1, 0)):
+            yield i, " ".join(words[i : i + n])
+
+
 def register_builtin_udfs(spark: SparkSession) -> dict[str, tuple[object, str]]:
     """Install the built-in registry into ``spark`` and return it."""
+    BUILTIN_UDFS["split_ngrams"] = (
+        register_udtf(spark, "split_ngrams", _SplitNgrams, "pos int, ngram string"),
+        "UDTF: explode text into positioned word n-grams",
+    )
     BUILTIN_UDFS["url_decode"] = (
         register_scalar(spark, "url_decode", _url_decode, "string"),
         "percent-decode a URL-encoded string",

@@ -45,3 +45,27 @@ def test_udf_plan_is_arrow_vectorized(spark, udfs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_udtf_split_ngrams(spark):
+    """The UDTF surface (reference row-fallback, SURVEY §2.10): SQL
+    lateral-join callable, 1 row -> N rows with computed columns."""
+    from gazelle_plugin_spark.functions import register_builtin_udfs
+
+    register_builtin_udfs(spark)
+    rows = spark.sql(
+        "SELECT pos, ngram FROM split_ngrams('a b c d', 3)"
+    ).collect()
+    assert [(r.pos, r.ngram) for r in rows] == [(0, "a b c"), (1, "b c d")]
+    # lateral over a table
+    spark.createDataFrame([("x y z",), (None,)], "txt string").createOrReplaceTempView(
+        "udtf_src"
+    )
+    lat = spark.sql(
+        "SELECT t.txt, g.pos, g.ngram FROM udtf_src t, "
+        "LATERAL split_ngrams(t.txt, 2) g"
+    ).collect()
+    assert {(r.txt, r.pos, r.ngram) for r in lat} == {
+        ("x y z", 0, "x y"),
+        ("x y z", 1, "y z"),
+    }
