@@ -449,6 +449,38 @@ def rel_percentile(spark, sf_dir):
     )
 
 
+@query(
+    "rel_salted_join",
+    oracle="""
+SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+WHERE c_custkey < 200
+GROUP BY c_nationkey ORDER BY nk
+""",
+)
+def rel_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (operators/exchange.salted_join):
+    nationkey is a 25-value key — the classic hot-key shape at scale —
+    so the probe side is salted deterministically (xxhash64, no rand)
+    and the build side explode-replicated. The oracle is the PLAIN
+    join: salting must be result-invariant (also equality-tested on
+    90%-hot-key data in tests/test_operators.py)."""
+    from gazelle_plugin_spark.operators.exchange import salted_join
+
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    s = t(spark, sf_dir, "supplier")
+    j = salted_join(c, s, "c_nationkey", "s_nationkey", salt=4)
+    return (
+        j.groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(dec("s_acctbal")).cast("double").alias("bal"),
+        )
+        .orderBy("nk")
+    )
+
+
 @query("rel_approx_agg")  # approx sketches differ across engines — rows-only
 def rel_approx_agg(spark, sf_dir):
     """approx_count_distinct (HLL) + percentile_approx — 'free

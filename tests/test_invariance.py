@@ -1,0 +1,52 @@
+"""Partitioning-invariance gates: results must be identical whatever
+the shuffle width or input split layout — the property that makes a
+plan trustworthy when the cluster (not the test) picks partition
+counts at 100 TB. Exercises both _maybe_spread paths (narrow input
+-> spread; wide input -> pass-through) for the text pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from gazelle_plugin_spark.plans import all_queries
+from tests.conftest import SF_MED
+
+QUERIES = all_queries()
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=str)
+
+
+@pytest.mark.parametrize("name", ["q5", "doc_minhash_neardup", "events_user_topk"])
+def test_result_invariant_to_shuffle_width(spark, name):
+    """Same rows at 3 vs 8+ shuffle partitions (map-side combines,
+    window partitioning, and band joins must not leak layout)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _rows(QUERIES[name](spark, SF_MED))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert narrow == _rows(QUERIES[name](spark, SF_MED))
+
+
+def test_ngram_jaccard_invariant_to_input_splits(spark, tmp_path):
+    """doc_ngram_jaccard gives identical pairs whether the documents
+    table arrives as ONE split (the _maybe_spread repartition path) or
+    64 splits (the pass-through path)."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    wide_dir = str(tmp_path / "docs_wide")
+    src.repartition(64).write.parquet(wide_dir)
+    wide_sf = str(tmp_path)
+    # the builders read <sf_dir>/documents.parquet — stage a dir where
+    # documents.parquet IS the 64-file layout
+    import shutil
+
+    shutil.move(wide_dir, str(tmp_path / "documents.parquet"))
+
+    base = _rows(QUERIES["doc_ngram_jaccard"](spark, SF_MED))
+    wide = _rows(QUERIES["doc_ngram_jaccard"](spark, wide_sf))
+    assert base == wide and len(base) > 0
