@@ -151,3 +151,38 @@ def joins_temporal_asof(ldf, rdf):
     from gazelle_plugin_spark.operators.temporal import asof_join
 
     return asof_join(ldf, rdf, "k", "t", "t", ["v"])
+
+
+range_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=12
+)
+
+
+@SETTINGS
+@given(left=range_rows, right=range_rows, delta=st.sampled_from([1, 7, 100]))
+def test_range_join_buckets_matches_theta_join(spark, left, right, delta):
+    """range_join_buckets == the naive theta join |lt - rt| <= delta,
+    for arbitrary key/time multisets and bucket widths — every
+    in-range pair found exactly once (bucket-boundary dedup), no
+    out-of-range pair leaks."""
+    from gazelle_plugin_spark.operators.temporal import range_join_buckets
+
+    ldf = spark.createDataFrame(
+        [(i, k, t_) for i, (k, t_) in enumerate(left)], "lid int, k int, lt long"
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, t_) for j, (k, t_) in enumerate(right)], "rid int, k int, rt long"
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in range_join_buckets(ldf, rdf, "k", "lt", "rt", max_delta=delta)
+        .select("l.lid", "r.rid")
+        .collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if lk == rk and abs(lt - rt) <= delta
+    )
+    assert got == expected

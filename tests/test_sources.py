@@ -132,3 +132,26 @@ def test_arrow_ipc_round_trip(spark, tmp_path):
     got = sorted(tuple(r) for r in back.collect())
     expected = sorted(tuple(r) for r in df.collect())
     assert got == expected
+
+
+def test_csv_permissive_corrupt_records(spark, tmp_path):
+    """Ingestion robustness: PERMISSIVE mode lands malformed CSV rows
+    in _corrupt_record instead of failing the 100 TB job; DROPMALFORMED
+    removes them; FAILFAST raises. The schema-first discipline the
+    engine's type matrix (SURVEY §1.2) requires."""
+    import pytest as _pytest
+
+    p = tmp_path / "messy.csv"
+    p.write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    schema = "id int, qty int, _corrupt_record string"
+    ok = read(
+        spark, str(p), fmt="csv", schema=schema, mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = {r.id: (r.qty, r._corrupt_record) for r in ok.collect()}
+    assert rows[1] == (10, None) and rows[3] == (30, None)
+    assert rows[2][0] is None and "not_a_number" in rows[2][1]
+    dropped = read(spark, str(p), fmt="csv", schema="id int, qty int", mode="DROPMALFORMED")
+    assert {r.id for r in dropped.collect()} == {1, 3}
+    with _pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read(spark, str(p), fmt="csv", schema="id int, qty int", mode="FAILFAST").collect()
