@@ -540,3 +540,66 @@ def events_ntile(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_frames",
+    oracle=_EVENTS_CTE
+    + """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+            (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS value_5min,
+       CAST(COUNT(*) OVER
+            (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_5min,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS value_last4,
+       CAST(MAX(CAST(value AS DECIMAL(12,2))) OVER
+            (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS DOUBLE)
+         AS max_next2
+FROM e
+WHERE user_id < 10
+ORDER BY user_id, event_id
+""",
+)
+def events_frames(spark, sf_dir):
+    """Full frame-spec grammar — the reference accepted ONLY
+    UnboundedPreceding->CurrentRow (ColumnarWindowExec.scala:141-150);
+    Spark's complete grammar is exercised here: a VALUE-based RANGE
+    frame (5-minute trailing window on the timestamp — ties share
+    frames, so sums are keyed on ts only), a sliding ROWS frame
+    (last 4 events), and a forward-looking ROWS frame (next 2).
+    Decimal-exact sums keep the hashes addition-order independent."""
+    e = events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-300_000_000, Window.currentRow)
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, 2)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.sum(dec("value")).over(w_range).cast("double").alias("value_5min"),
+            F.count(F.lit(1)).over(w_range).alias("n_5min"),
+            F.sum(dec("value")).over(w_rows).cast("double").alias("value_last4"),
+            F.max(dec("value")).over(w_fwd).cast("double").alias("max_next2"),
+        )
+        .orderBy("user_id", "event_id")
+    )
