@@ -12,6 +12,7 @@ from gazelle_plugin_spark.streaming.pipeline import (
     EVENTS_SCHEMA,
     dedup_stream,
     enrich_stream,
+    interval_join,
     sessionize,
     sessionize_stateful,
     stream_events,
@@ -26,4 +27,5 @@ __all__ = [
     "sessionize_stateful",
     "dedup_stream",
     "enrich_stream",
+    "interval_join",
 ]

@@ -120,6 +120,43 @@ def dedup_stream(
     return events.dropDuplicates(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delta: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join within a time interval: pair left and
+    right events sharing ``key`` whose timestamps differ by at most
+    ``max_delta``. Both sides are watermarked so the join state is
+    BOUNDED — each side buffers only watermark+delta of history per
+    key (unbounded stream-stream joins accumulate state forever).
+    Works identically on batch frames (no watermark needed there)."""
+    l = left.select(
+        F.col(key),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = right.select(
+        F.col(key).alias("__rk"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (l[key] == r["__rk"])
+        & (r["r_ts"] >= F.expr(f"l_ts - interval {max_delta}"))
+        & (r["r_ts"] <= F.expr(f"l_ts + interval {max_delta}"))
+    )
+    return l.join(r, cond).select(
+        key, "l_event_id", "r_event_id", "l_ts", "r_ts"
+    )
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static join: enrich each event with a (small, slowly
     changing) dimension. The static side behaves like a broadcast dim

@@ -155,3 +155,24 @@ def test_csv_permissive_corrupt_records(spark, tmp_path):
     assert {r.id for r in dropped.collect()} == {1, 3}
     with _pytest.raises(Exception, match="(?i)malformed|failfast"):
         read(spark, str(p), fmt="csv", schema="id int, qty int", mode="FAILFAST").collect()
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP (reference §4#3: Gazelle preserved Spark's dynamic partition
+    pruning across its columnar swaps; here it's native): joining a
+    partitioned fact to a FILTERED dim on the partition column must
+    inject a dynamicpruning subquery into the fact's partition filters
+    — only matching partitions are scanned."""
+    fact_dir = str(tmp_path / "fact_part")
+    read(spark, table_path(SF_SMALL, "lineitem")).write.partitionBy(
+        "l_returnflag"
+    ).parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "drop")], "flag string, tag string"
+    ).filter(F.col("tag") == "keep")
+    j = fact.join(dim.hint("BROADCAST"), fact.l_returnflag == dim.flag)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result only touches the kept partition
+    assert j.select("l_returnflag").distinct().collect()[0].l_returnflag == "A"

@@ -222,3 +222,23 @@ def test_stateful_sessionize_flush_open_emits_idle_sessions(spark, events_dir):
     assert got_r <= all_r            # nothing invented
     assert closed_r <= got_r         # every closed session emitted
     assert len(got_r) > len(closed_r)  # >=1 open session flushed
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream interval join (clicks x errors within 5 min per
+    user, both sides watermarked/bounded-state) produces exactly the
+    batch pairs."""
+    from gazelle_plugin_spark.streaming import interval_join
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "error"),
+        )
+
+    sc, se = split(stream_events(spark, events_dir))
+    got = _run_stream(spark, interval_join(sc, se), "ij_sink", "append")
+    bc, be = split(spark.read.parquet(events_dir))
+    expected = interval_join(bc, be)
+    assert rows(got) == rows(expected)
+    assert expected.count() > 0
