@@ -344,3 +344,48 @@ def expr_hash_native(spark, sf_dir):
         F.xxhash64("c_name").alias("h_xxhash64"),
         F.crc32(F.col("c_name").cast("binary")).alias("h_crc32"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "expr_misc",
+    oracle="""
+SELECT s_suppkey,
+       CAST(COALESCE(list_position(string_split('FURNITURE,AUTOMOBILE,BUILDING', ','),
+                              c_mktsegment), 0) AS INT) AS fis,
+       (NULLIF(s_nationkey, 5) IS NOT DISTINCT FROM NULLIF(c_nationkey, 5))
+         AS null_safe_eq,
+       CASE WHEN s_suppkey % 3 = 0 THEN -1.0 ELSE s_acctbal END AS nan_guard,
+       CASE WHEN NULLIF(s_nationkey, 5) IS NOT NULL
+            THEN 'have' ELSE 'none' END AS nv2,
+       COALESCE(CAST(NULLIF(s_nationkey, 5) AS VARCHAR), 'missing') AS nvl_s
+FROM supplier JOIN customer ON s_suppkey = c_custkey
+WHERE s_suppkey < 150
+ORDER BY s_suppkey
+""",
+)
+def expr_misc(spark, sf_dir):
+    """Remaining §2.9 converter cases: FindInSet (find_in_set),
+    EqualNullSafe (equal_null / <=>), NaN handling (nanvl via a
+    constructed NaN), nvl2, nvl — each with a DuckDB twin built from
+    list_position / IS NOT DISTINCT FROM / isnan-CASE. NULLIF(nk, 5)
+    manufactures NULLs so the null-safe paths are actually exercised."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    j = s.join(c, s.s_suppkey == c.c_custkey).filter(F.col("s_suppkey") < 150)
+    nk_s = F.nullif(F.col("s_nationkey"), F.lit(5))
+    nk_c = F.nullif(F.col("c_nationkey"), F.lit(5))
+    # NaN for suppkey%3==0, else the real acctbal — so nanvl's NaN
+    # branch is genuinely exercised
+    maybe_nan = F.when(
+        F.col("s_suppkey") % 3 == 0, F.lit(float("nan"))
+    ).otherwise(F.col("s_acctbal"))
+    return j.select(
+        "s_suppkey",
+        F.find_in_set(
+            F.col("c_mktsegment"), F.lit("FURNITURE,AUTOMOBILE,BUILDING")
+        ).alias("fis"),
+        F.equal_null(nk_s, nk_c).alias("null_safe_eq"),
+        F.nanvl(maybe_nan, F.lit(-1.0)).alias("nan_guard"),
+        F.nvl2(nk_s, F.lit("have"), F.lit("none")).alias("nv2"),
+        F.nvl(nk_s.cast("string"), F.lit("missing")).alias("nvl_s"),
+    ).orderBy("s_suppkey")
