@@ -38,6 +38,8 @@ part/supplier/nation as in plans/ssb.py.
 - ds_rollup_rank   <- resources/tpcds/q67.sql: RANK <= k over a ROLLUP
                      aggregate — the reference's LocalRankWindow
                      rewrite target (WindowGroupLimit in Spark)
+- ds_yoy_ratio     <- resources/tpcds/q74.sql/q31.sql: per-entity
+                     period aggregates self-joined, ratio threshold
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -769,4 +771,54 @@ def ds_rollup_rank(spark, sf_dir):
         .orderBy(
             F.asc_nulls_first("p_type"), "rk", F.asc_nulls_first("p_brand")
         )
+    )
+
+
+@query(
+    "ds_yoy_ratio",
+    oracle=f"""
+WITH yearly AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         {sql_dsum("CAST(o_totalprice AS DECIMAL(12,2))")} AS total
+  FROM orders
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY o_custkey, year(o_orderdate)
+)
+SELECT y1.o_custkey AS custkey,
+       y1.total AS total_1996, y2.total AS total_1997,
+       ROUND(y2.total / y1.total, 6) AS growth
+FROM yearly y1
+JOIN yearly y2 ON y1.o_custkey = y2.o_custkey
+WHERE y1.yr = 1996 AND y2.yr = 1997
+  AND y2.total / y1.total > 1.5
+ORDER BY growth DESC, custkey
+""",
+)
+def ds_yoy_ratio(spark, sf_dir):
+    """resources/tpcds/q74.sql pattern (also q31): per-entity yearly
+    aggregates self-joined across periods, keep entities whose
+    year-over-year ratio clears a threshold. ONE scan computes both
+    years' partials (the year filter is pushed; the self-join is of
+    the small aggregate, not the fact); the ratio is a single double
+    division of decimal-exact sums, rounded before ordering."""
+    o = t(spark, sf_dir, "orders")
+    yearly = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("total"))
+    )
+    y1 = yearly.filter(F.col("yr") == 1996).select(
+        F.col("o_custkey").alias("custkey"), F.col("total").alias("total_1996")
+    )
+    y2 = yearly.filter(F.col("yr") == 1997).select(
+        F.col("o_custkey").alias("ck2"), F.col("total").alias("total_1997")
+    )
+    growth = F.round(F.col("total_1997") / F.col("total_1996"), 6)
+    return (
+        y1.join(y2, y1.custkey == y2.ck2)
+        .withColumn("growth", growth)
+        .filter(F.col("total_1997") / F.col("total_1996") > 1.5)
+        .select("custkey", "total_1996", "total_1997", "growth")
+        .orderBy(F.desc("growth"), "custkey")
     )
