@@ -41,14 +41,16 @@ NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 def ensure_nanos_as_long(spark: SparkSession) -> None:
-    """Idempotently enable TIMESTAMP(NANOS)-as-long parquet reads.
+    """Enable TIMESTAMP(NANOS)-as-long parquet reads when UNSET.
 
     Engine-built sessions already carry this conf (session.ENGINE_CONFS);
     for sessions built elsewhere this is the documented capability
-    enable for the events table. Guarded so an already-configured
-    session is never mutated.
+    enable for the events table. Only an ABSENT conf is set — a session
+    where the caller explicitly chose ``false`` is left alone (their
+    other parquet reads keep their timestamp semantics; events reads
+    will then surface Spark's native TIMESTAMP(NANOS) error).
     """
-    if spark.conf.get(NANOS_CONF, "false") != "true":
+    if spark.conf.get(NANOS_CONF, None) is None:
         spark.conf.set(NANOS_CONF, "true")
 
 

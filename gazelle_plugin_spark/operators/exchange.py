@@ -67,17 +67,44 @@ def salted_join(
     Reference contrast: Gazelle leaned on AQE partition resize before
     SHJ (ShufflePartitionUtils.reoptimizeShuffledHashJoinInput); key
     salting was out of scope. Supported how: inner / left_outer.
+
+    The salt column name is reserved: inputs that already carry it are
+    rejected (a silent ``withColumn`` replace would corrupt caller
+    data and make the join condition ambiguous). Salt derivation hashes
+    only hashable-typed left columns — map columns (xxhash64 rejects
+    MapType) are excluded; the join key is always included.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
 
+    SALT = "__gazelle_salt"
     if how not in ("inner", "left_outer"):
         raise ValueError("salted_join supports how='inner'|'left_outer'")
-    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
-    l = left.withColumn("__salt", lsalt)
-    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    for side, df in (("left", left), ("right", right)):
+        if SALT in df.columns:
+            raise ValueError(
+                f"salted_join: {side} input already has reserved column {SALT!r}"
+            )
+
+    def _hashable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        # nested containers can smuggle a map in
+        if hasattr(dt, "elementType"):
+            return _hashable(dt.elementType)
+        if hasattr(dt, "fields"):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    hash_cols = [f.name for f in left.schema.fields if _hashable(f.dataType)]
+    if left_key not in hash_cols:
+        raise ValueError(f"salted_join: left key {left_key!r} is not hashable")
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in hash_cols]), F.lit(salt))
+    l = left.withColumn(SALT, lsalt)
+    r = right.withColumn(SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = l.join(
         r,
-        (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"]),
+        (l[left_key] == r[right_key]) & (l[SALT] == r[SALT]),
         how,
     )
-    return out.drop("__salt")
+    return out.drop(SALT)

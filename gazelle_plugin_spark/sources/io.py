@@ -96,22 +96,40 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     per-file parallelism matches the file layout (write one file per
     partition, as write_arrow_ipc does).
 
-    Schema comes from reading only the FIRST batch's schema on the
-    driver (a footer-sized read, not a data scan)."""
+    Schema comes from decoding the SMALLEST file's content on the
+    driver — probed through the binaryFile ``content`` column, so it
+    works on any scheme binaryFile supports (file/hdfs/s3a) without
+    assuming the driver can open the path locally.
+
+    Files above binaryFile's 2 GiB content ceiling are rejected up
+    front with a clear error (the ``length`` column is file-status
+    metadata — the guard reads no data): this reader pairs with
+    write_arrow_ipc's one-file-per-partition layout, so keep write
+    partitions under 2 GiB (repartition before writing)."""
     import pyarrow as pa
     import pyarrow.ipc as ipc
+    from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
     files = spark.read.format("binaryFile").load(path)
 
-    # driver-side schema probe: one file's IPC schema block
-    probe = files.select("path").limit(1).collect()
-    if not probe:
+    # metadata-only probe: smallest file for the schema, largest for the guard
+    stats = files.groupBy().agg(
+        F.min_by("path", "length").alias("smallest"),
+        F.max("length").alias("max_len"),
+    ).collect()
+    if not stats or stats[0].smallest is None:
         raise UnsupportedOperationError(
             f"no files under {path!r}", "a non-empty IPC directory"
         )
-    local = probe[0].path.removeprefix("file:")
-    with ipc.open_file(pa.memory_map(local)) as rd:
+    if stats[0].max_len >= 2**31:
+        raise UnsupportedOperationError(
+            f"IPC file >2 GiB under {path!r} (binaryFile content ceiling)",
+            "files written one-per-partition under 2 GiB "
+            "(repartition before write_arrow_ipc)",
+        )
+    probe = files.filter(F.col("path") == stats[0].smallest).select("content").collect()
+    with ipc.open_file(pa.BufferReader(probe[0].content)) as rd:
         schema = rd.schema
     spark_schema = from_arrow_schema(schema)
 
@@ -134,29 +152,48 @@ def write_arrow_ipc(df: DataFrame, path: str) -> int:
     its Arrow batches straight to one IPC file, executor-side; empty
     partitions write nothing). Returns the row count written.
 
+    Commit protocol (task retries/speculation are routine at scale):
+    each task writes to a per-attempt temp name and atomically renames
+    to the deterministic ``part-<partitionId>.arrow`` on success — a
+    failed/duplicate attempt leaves at most a ``.tmp`` orphan, never a
+    truncated or double-counted part file, and a re-run of the same
+    partition overwrites rather than accumulates. A non-empty
+    destination is refused (no silent accumulation across writes).
+
     Executors write directly to ``path`` — local mode or a shared
     filesystem; an object-store deployment would swap the open() for
     its client the same way any foreachPartition sink does."""
     import os
-    import uuid
 
     import pyarrow as pa
     import pyarrow.ipc as ipc
+    from pyspark import TaskContext
     from pyspark.sql.pandas.types import to_arrow_schema
 
     os.makedirs(path, exist_ok=True)
+    existing = [f for f in os.listdir(path) if not f.startswith(".")]
+    if existing:
+        raise UnsupportedOperationError(
+            f"non-empty destination {path!r} ({len(existing)} files)",
+            "an empty/new directory (write_arrow_ipc never appends)",
+        )
     schema = to_arrow_schema(df.schema)
 
     def write_part(batches):
-        writer, n = None, 0
+        ctx = TaskContext.get()
+        writer, n, tmp = None, 0, None
         for batch in batches:
             if writer is None:
-                out = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
-                writer = ipc.new_file(out, schema)
+                final = os.path.join(path, f"part-{ctx.partitionId():05d}.arrow")
+                tmp = f"{final}.{ctx.taskAttemptId()}.tmp"
+                writer = ipc.new_file(tmp, schema)
             writer.write_batch(batch)
             n += batch.num_rows
         if writer is not None:
             writer.close()
+            final = tmp.rsplit(".", 2)[0] + ".arrow"
+            final = os.path.join(path, f"part-{ctx.partitionId():05d}.arrow")
+            os.replace(tmp, final)
         yield pa.RecordBatch.from_pylist([{"n": n}], schema=pa.schema([("n", pa.int64())]))
 
     counts = df.mapInArrow(write_part, "n long").agg({"n": "sum"}).collect()
