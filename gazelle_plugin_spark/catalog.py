@@ -34,9 +34,10 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: SQL conf required to read parquet TIMESTAMP(NANOS) columns (the
-#: events table). Engine sessions get it from session.ENGINE_CONFS;
-#: ``ensure_nanos_as_long`` covers foreign sessions (e.g. the driver's).
+#: SQL conf required to read parquet TIMESTAMP(NANOS) columns (one of
+#: the encodings the events table has shipped with). Engine sessions
+#: get it from session.ENGINE_CONFS; ``ensure_nanos_as_long`` covers
+#: foreign sessions (e.g. the driver's). A no-op for MICROS files.
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
@@ -54,16 +55,38 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
         spark.conf.set(NANOS_CONF, "true")
 
 
+def ts_us_expr(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds expression for the events ``ts`` column,
+    adaptive to the OBSERVED parquet encoding rather than an assumed
+    one (the generated testdata has shipped both):
+
+    - ``timestamp`` / ``timestamp_ntz`` (parquet TIMESTAMP(MICROS)):
+      cast NTZ to LTZ (identity under the engine's UTC session
+      timezone, matching DuckDB's naive-as-UTC ``epoch_us``) and take
+      ``unix_micros``.
+    - ``bigint`` (parquet TIMESTAMP(NANOS) read via the
+      ``nanosAsLong`` legacy conf): INTEGER-divide ns -> us (float
+      division rounds at the 1.7e18 ns scale).
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise KeyError(f"column {col!r} not found in events table")
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp_ltz"))
+    return F.expr(f"{col} div 1000")
+
+
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-        # default; read it as a long and convert ns -> us with INTEGER
-        # division (float division rounds at the 1.7e18 ns scale)
+        # normalize ts to TIMESTAMP_LTZ micros whatever the file's
+        # physical encoding (see ts_us_expr)
         ensure_nanos_as_long(spark)
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.timestamp_micros(ts_us_expr(df)))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -8,12 +8,13 @@ docs/Expressions-Compatibility.md:8-9) — re-expressed as declarative
 DataFrame plans, and extended with the sessionization pipeline a
 training-data/event system needs.
 
-Timestamp note: events.parquet stores TIMESTAMP(NANOS) which Spark's
-parquet reader rejects by default; every builder here enables
-``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable SQL conf)
-and converts ns -> us with *integer* division (float division rounds
-at the 1.7e18 ns scale). DuckDB truncates ns->us the same way, so the
-two engines see identical microsecond values.
+Timestamp note: events.parquet has shipped with two physical ``ts``
+encodings — TIMESTAMP(NANOS) (read as BIGINT via the ``nanosAsLong``
+legacy conf, then integer-divided ns -> us) and TIMESTAMP(MICROS,
+isAdjustedToUTC=false) (read as TIMESTAMP_NTZ, cast to LTZ under the
+UTC session timezone and ``unix_micros``'d). :func:`catalog.ts_us_expr`
+branches on the OBSERVED dtype so both keep working; DuckDB's
+``epoch_us(ts)`` oracle matches either way.
 
 Scale notes (100 TB): every query here shuffles once on ``user_id``
 (the session/window partition key) and aggregates within the
@@ -35,12 +36,12 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts_us`` (bigint epoch micros) and ``ts``
-    (timestamp) columns; handles the TIMESTAMP(NANOS) parquet type."""
-    from gazelle_plugin_spark.catalog import ensure_nanos_as_long
+    (timestamp) columns; adapts to the observed ``ts`` encoding."""
+    from gazelle_plugin_spark.catalog import ensure_nanos_as_long, ts_us_expr
 
     ensure_nanos_as_long(spark)
     df = t(spark, sf_dir, "events")
-    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+    return df.withColumn("ts_us", ts_us_expr(df)).withColumn(
         "ts", F.timestamp_micros(F.col("ts_us"))
     )
 
