@@ -20,6 +20,12 @@ from gazelle_plugin_spark.plans import all_oracles, all_queries
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H q1 pricing summary) on sf0.001."""
+    from gazelle_plugin_spark.catalog import assert_testdata_schema
+
+    # tripwire: fail fast with the drifted column named if the driver
+    # regenerated /root/testdata with a changed encoding (it happened
+    # in round 4: events.ts NANOS -> MICROS)
+    assert_testdata_schema(spark, "/root/testdata/sf0.001")
     return all_queries()["q1"](spark, "/root/testdata/sf0.001")
 
 

@@ -4,13 +4,22 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Modes:
-  python bench.py [names...]            engine THEN vanilla (compare is
-      the default since round 3: the JSON carries "vanilla_total" and
-      "geomean_speedup_vs_vanilla", so every recorded BENCH_r{N}.json
-      is self-normalizing — a loaded sandbox shows ~1.0 geomean instead
-      of masquerading as a regression; round-2 verdict item 10)
+  python bench.py [names...]            compare (default): engine in
+      this process, vanilla Spark in ONE persistent subprocess,
+      INTERLEAVED per query — engine median-of-R then vanilla
+      median-of-R for the same query back-to-back, so sandbox load
+      shifts hit both sides alike (round-3/4 verdict item). R =
+      $SPARK_GRAFT_BENCH_REPS (default 3, median).
   python bench.py --no-compare [names...]  engine only
   python bench.py --vanilla [names...]     default-conf Spark session only
+  python bench.py --worker                 internal: vanilla-session
+      subprocess; reads query names from stdin, answers one JSON line
+      per name on stdout.
+
+Crash isolation (round-4 lesson: one broken query zeroed the whole
+artifact): every query runs under try/except; failures land in
+"errors": {name: message} and the run continues. The JSON always
+prints.
 
 The headline set is the 22 TPC-H-derived queries (matching
 BENCH_r01.json and the reference's Decision Support Benchmark1) PLUS
@@ -24,6 +33,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import statistics
 import sys
 import time
 
@@ -40,16 +50,37 @@ PIPELINE_BENCH = [
     "events_asof_join",
 ]
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-def _run_queries(spark, names, queries, sf_dir) -> dict[str, float]:
-    # warm the JVM + parquet footer caches once with the cheapest query
-    queries["q6"](spark, sf_dir).collect()
-    timings: dict[str, float] = {}
-    for name in names:
+
+def _time_one(spark, fn, sf_dir: str, reps: int = REPS):
+    """Median-of-reps wall time for one query, or an error string."""
+    times = []
+    for _ in range(reps):
         start = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 4)
-    return timings
+        fn(spark, sf_dir).collect()
+        times.append(time.perf_counter() - start)
+    return round(statistics.median(times), 4)
+
+
+def _warm(spark, queries, sf_dir) -> None:
+    """Warm the JVM + parquet footer caches with the cheapest query."""
+    try:
+        queries["q6"](spark, sf_dir).collect()
+    except Exception:
+        pass
+
+
+def _run_queries(spark, names, queries, sf_dir):
+    """(timings, errors) — crash-isolated per query."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        try:
+            timings[name] = _time_one(spark, queries[name], sf_dir)
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+    return timings, errors
 
 
 def _engine_session(cpus: str):
@@ -76,11 +107,38 @@ def _vanilla_session(cpus: str):
     )
 
 
+def _worker(cpus: str, sf_dir: str) -> None:
+    """Vanilla-session subprocess: one query name per stdin line, one
+    JSON answer per stdout line. Keeping the session alive across
+    queries lets the parent interleave engine/vanilla per query
+    without paying ~10 s of JVM startup per measurement."""
+    from gazelle_plugin_spark.plans import all_queries
+
+    spark = _vanilla_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    _warm(spark, queries, sf_dir)
+    print(json.dumps({"ready": True}), flush=True)
+    for line in sys.stdin:
+        name = line.strip()
+        if not name:
+            continue
+        try:
+            out = {"name": name, "sec": _time_one(spark, queries[name], sf_dir)}
+        except Exception as exc:  # noqa: BLE001
+            out = {"name": name, "err": f"{type(exc).__name__}: {exc}"[:500]}
+        print(json.dumps(out), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     args = sys.argv[1:]
+    if "--worker" in args:
+        _worker(cpus, sf_dir)
+        return
     vanilla = "--vanilla" in args
     compare = "--no-compare" not in args and not vanilla
     args = [a for a in args if not a.startswith("--")]
@@ -96,39 +154,78 @@ def main() -> None:
         "metric": "total_query_wall_time",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": REPS,
     }
 
     if vanilla:
         spark = _vanilla_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
-        timings = _run_queries(spark, names, queries, sf_dir)
+        _warm(spark, queries, sf_dir)
+        timings, errors = _run_queries(spark, names, queries, sf_dir)
         spark.stop()
-    else:
+    elif not compare:
         spark = _engine_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
-        timings = _run_queries(spark, names, queries, sf_dir)
+        _warm(spark, queries, sf_dir)
+        timings, errors = _run_queries(spark, names, queries, sf_dir)
         spark.stop()
-        if compare:
-            # fresh subprocess: a second session in this JVM would ride
-            # JIT warm-up from the engine run and skew the comparison
-            import subprocess
+    else:
+        # interleaved compare: engine in-process, vanilla in one
+        # persistent subprocess (separate JVM: no shared JIT warm-up),
+        # measured back-to-back per query
+        import subprocess
 
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--vanilla", *names],
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            vtimings = json.loads(proc.stdout.strip().splitlines()[-1])["queries"]
-            ratios = [vtimings[n] / timings[n] for n in names if timings[n] > 0]
-            result["vanilla_total"] = round(sum(vtimings.values()), 4)
-            result["vanilla_queries"] = vtimings
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            env=os.environ,
+        )
+        spark = _engine_session(cpus)
+        spark.sparkContext.setLogLevel("ERROR")
+        _warm(spark, queries, sf_dir)
+        # wait for the worker's session to be warm before timing
+        ready = json.loads(proc.stdout.readline())
+        assert ready.get("ready"), f"worker failed to start: {ready}"
+
+        timings, errors = {}, {}
+        vtimings, verrors = {}, {}
+        for name in names:
+            try:
+                timings[name] = _time_one(spark, queries[name], sf_dir)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            proc.stdin.write(name + "\n")
+            proc.stdin.flush()
+            ans = json.loads(proc.stdout.readline())
+            if "sec" in ans:
+                vtimings[name] = ans["sec"]
+            else:
+                verrors[name] = ans["err"]
+        proc.stdin.close()
+        proc.wait(timeout=60)
+        spark.stop()
+
+        ratios = [
+            vtimings[n] / timings[n]
+            for n in names
+            if timings.get(n) and vtimings.get(n)
+        ]
+        result["vanilla_total"] = round(sum(vtimings.values()), 4)
+        result["vanilla_queries"] = vtimings
+        if verrors:
+            result["vanilla_errors"] = verrors
+        if ratios:
             result["geomean_speedup_vs_vanilla"] = round(
                 math.exp(sum(map(math.log, ratios)) / len(ratios)), 4
             )
 
     result["value"] = round(sum(timings.values()), 4)
     result["queries"] = timings
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 

@@ -90,6 +90,111 @@ def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+#: Expected raw-scan dtypes per table (tripwire against testdata
+#: regeneration drift — the driver owns /root/testdata and has changed
+#: an encoding mid-project once: events.ts NANOS -> MICROS, round 4).
+#: Values are either one dtype string or a tuple of acceptable ones.
+#: Parquet TIMESTAMP(isAdjustedToUTC=false) reads as timestamp_ntz on
+#: Spark 4; events.ts additionally admits bigint (nanos-as-long).
+_TS = ("timestamp", "timestamp_ntz")
+EXPECTED_SCHEMA: dict[str, dict[str, str | tuple[str, ...]]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": _TS,
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": _TS,
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": _TS + ("bigint",),
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+def assert_testdata_schema(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Fail fast, naming the drifted column, if the generated testdata
+    no longer matches :data:`EXPECTED_SCHEMA`.
+
+    The engine's loaders adapt where they can (events.ts), but silent
+    drift elsewhere surfaces as cryptic mid-query analysis errors; this
+    turns the next regeneration into a one-line diagnosis. Footer-only
+    reads — O(tables), no data scan.
+    """
+    ensure_nanos_as_long(spark)
+    problems = []
+    for name, want in EXPECTED_SCHEMA.items():
+        try:
+            got = dict(spark.read.parquet(table_path(sf_dir, name)).dtypes)
+        except Exception as exc:  # noqa: BLE001 - report unreadable table
+            problems.append(f"{name}: unreadable ({type(exc).__name__}: {exc})")
+            continue
+        for col, allowed in want.items():
+            opts = (allowed,) if isinstance(allowed, str) else allowed
+            actual = got.get(col)
+            if actual not in opts:
+                problems.append(
+                    f"{name}.{col}: expected one of {opts}, observed {actual!r}"
+                )
+    if problems:
+        raise AssertionError(
+            "testdata schema drift detected:\n  " + "\n  ".join(problems)
+        )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
 ) -> dict[str, DataFrame]:

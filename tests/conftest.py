@@ -25,6 +25,18 @@ def spark(tmp_path_factory):
     s.stop()
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _testdata_schema_tripwire(spark):
+    """Session-wide guard: if /root/testdata was regenerated with a
+    drifted schema, every test run says so in one message naming the
+    column (round-4 lesson: events.ts silently changed encoding and
+    38 tests went red with an opaque analysis error)."""
+    from gazelle_plugin_spark.catalog import assert_testdata_schema
+
+    assert_testdata_schema(spark, SF_SMALL)
+    assert_testdata_schema(spark, SF_MED)
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
