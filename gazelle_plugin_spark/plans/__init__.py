@@ -53,33 +53,30 @@ def load_all() -> None:
 
 #: The driver's CORRECTNESS gate verifies the FIRST 50 registered
 #: queries (round-2 verdict), so the export order is curated as a
-#: cross-section of every operator family rather than import order
-#: (which saturated the window with TPC-H/SSB/DS — all driver-proven
-#: in CORRECTNESS_r02 and since demoted to the local oracle gate,
-#: which runs the identical compare at the same scale). q1 stays
-#: first: entry() depends on it. Every window entry has a DuckDB
-#: oracle (asserted in tests/test_sql_entry.py).
+#: cross-section of every operator family rather than import order.
+#: Rotation policy (round-4 verdict item 4): rows proven green in
+#: ≥1 prior CORRECTNESS_r* rotate OUT to the local oracle gate (which
+#: runs the identical compare at the same scale — demotion ≠ removal);
+#: never-driver-verified rows rotate IN; freshly-FIXED rows stay in
+#: for at least one more round (the 9 events_* rows this round). q1
+#: stays first: entry() depends on it. Every window entry has a
+#: DuckDB oracle except ROWS_ONLY_WINDOW (driver records its weaker
+#: rows-only check for those — better than no external evidence).
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # text dedup / fingerprints / corpus stats (LLM pipeline)
+    # text dedup / fingerprints (LLM pipeline; stats rows rotated out r05)
     "doc_exact_dedup",
     "doc_minhash_neardup",
     "doc_ngram_jaccard",
     "doc_simhash_neardup",
     "doc_winnow_fingerprint",
-    "doc_simhash",
-    "doc_text_stats",
-    "doc_quality",
-    "doc_lang_id",
-    "doc_token_counts",
     # embedding similarity / ANN
-    "emb_topk_cosine",
     "emb_lsh_topk",
     "emb_neardup_pairs",
     "emb_ivf_search",
-    "emb_centroid_assign",
-    # windows / sessions / temporal joins / JSON
+    # windows / sessions / temporal joins / JSON — broken by the r04
+    # testdata drift, fixed r05, ALL kept in-window to re-prove
     "events_sessionize",
     "events_json_stats",
     "events_json_edges",
@@ -89,10 +86,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_asof_join",
     "events_range_join",
     "events_funnel",
+    # + the 4 events rows never driver-verified (rotated in r05)
+    "events_frames",
+    "events_hourly",
+    "events_ntile",
+    "events_time_parts",
     # set-ops / join variants / aggregate sweep
-    "rel_union_distinct",
-    "rel_intersect",
-    "rel_except",
     "rel_intersect_all",
     "rel_except_all",
     "rel_not_in_nullable",
@@ -100,10 +99,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rel_smj",
     "rel_shj",
     "rel_full_outer",
-    "rel_cross_join",
-    "rel_collect",
     "rel_percentile",
     "rel_agg_stats",
+    # + rotated in r05 (never driver-verified)
+    "rel_salted_join",
+    "rel_approx_agg",
     # scalar expression sweeps
     "expr_string",
     "expr_datetime",
@@ -111,13 +111,30 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "expr_conditional",
     "expr_hash",
     "expr_nested",
+    # + rotated in r05 (never driver-verified)
+    "expr_misc",
+    "expr_hash_native",
     # multimodal plumbing
     "mm_blob_stats",
     "mm_frame_sample",
-    # TPC-DS multi-block subquery shapes (new in round 3)
+    "mm_byte_features",
+    # TPC-DS multi-block subquery shapes
     "ds_intersect_yoy",
     "ds_union_agg",
     "ds_double_exists",
+    # + rotated in r05 (never driver-verified)
+    "ds_except_churn",
+    "ds_rollup_rank",
+    "ds_yoy_ratio",
+)
+
+#: Window entries with NO DuckDB oracle — cross-engine value identity
+#: is structurally impossible (approx_count_distinct sketches, Spark
+#: murmur3 hash values, binary feature extraction DuckDB can't run);
+#: the driver records a rows-only check for these, pytest pins their
+#: values (test_relational/test_expressions/test_multimodal).
+ROWS_ONLY_WINDOW = frozenset(
+    {"rel_approx_agg", "expr_hash_native", "mm_byte_features"}
 )
 
 

@@ -66,14 +66,23 @@ def test_driver_window_is_a_family_cross_section():
     that the curated window (a) leads every export, (b) starts with q1
     (entry() depends on it), (c) is fully oracled, and (d) covers one+
     representative per operator family."""
-    from gazelle_plugin_spark.plans import DRIVER_WINDOW, all_oracles, all_queries
+    from gazelle_plugin_spark.plans import (
+        DRIVER_WINDOW,
+        ROWS_ONLY_WINDOW,
+        all_oracles,
+        all_queries,
+    )
 
     qs, os_ = all_queries(), all_oracles()
     assert len(DRIVER_WINDOW) == 50
     assert list(qs)[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
     assert DRIVER_WINDOW[0] == "q1"
-    missing_oracle = [n for n in DRIVER_WINDOW if n not in os_]
+    missing_oracle = [
+        n for n in DRIVER_WINDOW if n not in os_ and n not in ROWS_ONLY_WINDOW
+    ]
     assert not missing_oracle, f"window entries without oracle: {missing_oracle}"
+    assert ROWS_ONLY_WINDOW <= set(DRIVER_WINDOW)
+    assert not (ROWS_ONLY_WINDOW & set(os_)), "rows-only entries grew oracles"
     for family in ("doc_", "emb_", "events_", "rel_", "expr_", "mm_", "ds_"):
         assert any(n.startswith(family) for n in DRIVER_WINDOW), family
     # every registered query is still exported (demotion ≠ removal)
