@@ -38,6 +38,16 @@ part/supplier/nation as in plans/ssb.py.
 - ds_rollup_rank   <- resources/tpcds/q67.sql: RANK <= k over a ROLLUP
                      aggregate — the reference's LocalRankWindow
                      rewrite target (WindowGroupLimit in Spark)
+- ds_moving_rank   <- resources/tpcds/q47.sql (also q57): monthly
+                     aggregate + per-year window average + rank, with
+                     prior/next-month sums; the reference's 3-way
+                     self-join is re-expressed as ONE lag/lead window
+                     pass (oracle keeps the self-join form, proving
+                     equivalence)
+- ds_returns_cov   <- resources/tpcds/q17.sql: three filtered fact
+                     instances chained on shared keys (sale ->
+                     return -> repurchase) + count/avg/stddev/cov
+                     stats per brand
 - ds_yoy_ratio     <- resources/tpcds/q74.sql/q31.sql: per-entity
                      period aggregates self-joined, ratio threshold
 
@@ -821,4 +831,218 @@ def ds_yoy_ratio(spark, sf_dir):
         .filter(F.col("total_1997") / F.col("total_1996") > 1.5)
         .select("custkey", "total_1996", "total_1997", "growth")
         .orderBy(F.desc("growth"), "custkey")
+    )
+
+
+@query(
+    "ds_moving_rank",
+    oracle="""
+WITH v1 AS (
+  SELECT n_name, c_mktsegment,
+         CAST(year(o_orderdate) AS INT) AS d_year,
+         CAST(month(o_orderdate) AS INT) AS d_moy,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_dec,
+         CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) OVER (
+              PARTITION BY n_name, c_mktsegment, year(o_orderdate)) AS DOUBLE)
+           / COUNT(*) OVER (
+              PARTITION BY n_name, c_mktsegment, year(o_orderdate))
+           AS avg_monthly_sales,
+         rank() OVER (PARTITION BY n_name, c_mktsegment
+                      ORDER BY year(o_orderdate), month(o_orderdate)) AS rn
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_mktsegment, year(o_orderdate), month(o_orderdate)
+)
+SELECT v1.n_name, v1.c_mktsegment, v1.d_year, v1.d_moy,
+       v1.avg_monthly_sales,
+       CAST(v1.sum_dec AS DOUBLE) AS sum_sales,
+       CAST(v1_lag.sum_dec AS DOUBLE) AS psum,
+       CAST(v1_lead.sum_dec AS DOUBLE) AS nsum
+FROM v1, v1 v1_lag, v1 v1_lead
+WHERE v1.n_name = v1_lag.n_name AND v1.n_name = v1_lead.n_name
+  AND v1.c_mktsegment = v1_lag.c_mktsegment
+  AND v1.c_mktsegment = v1_lead.c_mktsegment
+  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+  AND v1.d_year = 1997 AND v1.avg_monthly_sales > 0
+  AND abs(CAST(v1.sum_dec AS DOUBLE) - v1.avg_monthly_sales)
+        / v1.avg_monthly_sales > 0.1
+ORDER BY CAST(v1.sum_dec AS DOUBLE) - v1.avg_monthly_sales,
+         v1.n_name, v1.c_mktsegment, v1.d_moy
+LIMIT 100
+""",
+)
+def ds_moving_rank(spark, sf_dir):
+    """resources/tpcds/q47.sql pattern (also q57): monthly sales per
+    (nation, segment) with the per-year window average and the
+    prior/next month's sums, keeping months deviating >10% from the
+    year average.
+
+    The reference (and the oracle above, kept in that form as an
+    equivalence proof) materializes v1 THREE times and self-joins on
+    rn +/- 1; since rank() over the grouped (year, month) pairs is
+    gap-free within a partition, lag/lead over the SAME window are
+    semantically identical — so the Spark plan is a single window pass
+    over the pre-aggregated months: the only fact-sized shuffle is the
+    groupBy; both window exchanges move group-level rows (O(nation x
+    segment x month)), negligible at any scale, vs the reference's two
+    extra self-join shuffles of the same data."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    v1 = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            "c_mktsegment",
+            F.year("o_orderdate").alias("d_year"),
+            F.month("o_orderdate").alias("d_moy"),
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("sum_dec"))
+    )
+    avg_w = Window.partitionBy("n_name", "c_mktsegment", "d_year")
+    rank_w = Window.partitionBy("n_name", "c_mktsegment").orderBy("d_year", "d_moy")
+    sum_sales = F.col("sum_dec").cast("double")
+    avg_monthly = F.sum("sum_dec").over(avg_w).cast("double") / F.count(
+        F.lit(1)
+    ).over(avg_w)
+    v2 = v1.select(
+        "n_name",
+        "c_mktsegment",
+        "d_year",
+        "d_moy",
+        avg_monthly.alias("avg_monthly_sales"),
+        sum_sales.alias("sum_sales"),
+        F.lag(sum_sales).over(rank_w).alias("psum"),
+        F.lead(sum_sales).over(rank_w).alias("nsum"),
+    )
+    return (
+        v2.filter(
+            (F.col("d_year") == 1997)
+            & (F.col("avg_monthly_sales") > 0)
+            & (
+                F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+                / F.col("avg_monthly_sales")
+                > 0.1
+            )
+            & F.col("psum").isNotNull()
+            & F.col("nsum").isNotNull()
+        )
+        .orderBy(
+            F.col("sum_sales") - F.col("avg_monthly_sales"),
+            "n_name",
+            "c_mktsegment",
+            "d_moy",
+        )
+        .limit(100)
+    )
+
+
+def _qty_stats(prefix: str, col: str) -> list:
+    """count/avg/stddev_samp/cov of an integer-valued quantity column,
+    via decimal-exact sums so both engines derive identical doubles
+    (stddev_samp's streaming accumulation is order-sensitive in FP;
+    the algebraic form sqrt((s2 - s1^2/n)/(n-1)) is not)."""
+    x = F.col(col)
+    n = F.count(x)
+    s1 = F.sum(dec(x)).cast("double")
+    s2 = F.sum(dec(x * x)).cast("double")
+    avg = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    std = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    return [
+        n.alias(f"{prefix}_cnt"),
+        F.round(avg, 6).alias(f"{prefix}_avg"),
+        F.round(std, 6).alias(f"{prefix}_std"),
+        F.round(std / avg, 6).alias(f"{prefix}_cov"),
+    ]
+
+
+def _sql_qty_stats(prefix: str, col: str) -> str:
+    n = f"COUNT({col})"
+    s1 = f"CAST(SUM(CAST({col} AS DECIMAL(12,2))) AS DOUBLE)"
+    s2 = f"CAST(SUM(CAST({col} * {col} AS DECIMAL(12,2))) AS DOUBLE)"
+    avg = f"({s1} / {n})"
+    var = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
+    std = f"(CASE WHEN {n} > 1 THEN sqrt(greatest({var}, 0.0)) END)"
+    return (
+        f"CAST({n} AS BIGINT) AS {prefix}_cnt, "
+        f"ROUND({avg}, 6) AS {prefix}_avg, "
+        f"ROUND({std}, 6) AS {prefix}_std, "
+        f"ROUND({std} / {avg}, 6) AS {prefix}_cov"
+    )
+
+
+@query(
+    "ds_returns_cov",
+    oracle=f"""
+WITH f AS (
+  SELECT l_partkey AS pk, l_orderkey AS ok, l_quantity AS qty,
+         year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+         l_returnflag AS rf
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT p_brand,
+       {_sql_qty_stats("sale", "sale.qty")},
+       {_sql_qty_stats("ret", "ret.qty")},
+       {_sql_qty_stats("rep", "rep.qty")}
+FROM (SELECT * FROM f WHERE y = 1996 AND q = 1) sale
+JOIN (SELECT * FROM f WHERE rf = 'R' AND y = 1996 AND q <= 3) ret
+  ON sale.pk = ret.pk AND sale.ok <> ret.ok
+JOIN (SELECT * FROM f WHERE y = 1996 AND q <= 3) rep
+  ON ret.pk = rep.pk
+JOIN part ON sale.pk = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+LIMIT 100
+""",
+)
+def ds_returns_cov(spark, sf_dir):
+    """resources/tpcds/q17.sql pattern: three filtered instances of the
+    fact chained on shared keys — a Q1 sale, a matching returned line
+    (R flag, different order) within Q1-Q3, and a repurchase in the
+    same window — with count/avg/stddev/cov quantity stats per brand.
+
+    Scale shape mirrors q17: each instance filters BEFORE the chain
+    joins, all three shuffle on the same chain key (pk) so the second
+    join reuses the first's partitioning, and the part dim is
+    broadcast. stddev goes through the algebraic decimal-exact form
+    (see _qty_stats) — the reference computes stddev_samp natively
+    (ColumnarHashAggregate partial stddev); cross-engine FP identity
+    needs the associative formulation."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part")
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_quantity").alias("qty"),
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.col("l_returnflag").alias("rf"),
+    )
+    sale = f.filter((F.col("y") == 1996) & (F.col("q") == 1)).select(
+        F.col("pk"), F.col("ok"), F.col("qty").alias("sale_qty")
+    )
+    ret = f.filter(
+        (F.col("rf") == "R") & (F.col("y") == 1996) & (F.col("q") <= 3)
+    ).select(F.col("pk").alias("r_pk"), F.col("ok").alias("r_ok"), F.col("qty").alias("ret_qty"))
+    rep = f.filter((F.col("y") == 1996) & (F.col("q") <= 3)).select(
+        F.col("pk").alias("p_pk"), F.col("qty").alias("rep_qty")
+    )
+    chained = (
+        sale.join(ret, (sale.pk == F.col("r_pk")) & (sale.ok != F.col("r_ok")))
+        .join(rep, F.col("r_pk") == F.col("p_pk"))
+        .join(F.broadcast(p), sale.pk == p.p_partkey)
+    )
+    return (
+        chained.groupBy("p_brand")
+        .agg(
+            *_qty_stats("sale", "sale_qty"),
+            *_qty_stats("ret", "ret_qty"),
+            *_qty_stats("rep", "rep_qty"),
+        )
+        .orderBy("p_brand")
+        .limit(100)
     )
