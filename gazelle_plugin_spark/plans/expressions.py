@@ -333,16 +333,20 @@ def expr_nested(spark, sf_dir):
 
 @query("expr_hash_native")  # no DuckDB analog for Spark murmur3/xxhash64/crc32
 def expr_hash_native(spark, sf_dir):
-    """Spark-native hashes: murmur3 (`hash`), xxhash64, crc32 — the
-    reference's Murmur3Hash case (ColumnarExpressionConverter.scala:
-    484-493). No DuckDB twin exists, so the driver records the weaker
-    rows-only check; tests/test_expressions.py pins determinism."""
+    """Spark-native hashes: murmur3 (`hash`), xxhash64, crc32, sha1 —
+    the reference's Murmur3Hash/Sha1 cases
+    (ColumnarExpressionConverter.scala:484-493,
+    ColumnarUnaryOperator.scala). DuckDB has none of these (its sha1
+    is absent, its hash() is a different algorithm), so the driver
+    records the weaker rows-only check; tests/test_functions.py
+    re-derives sha1/crc32 with hashlib/zlib as the value oracle."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
     return c.select(
         "c_custkey",
         F.hash("c_name").alias("h_murmur3"),
         F.xxhash64("c_name").alias("h_xxhash64"),
         F.crc32(F.col("c_name").cast("binary")).alias("h_crc32"),
+        F.sha1(F.col("c_name").cast("binary")).alias("h_sha1"),
     ).orderBy("c_custkey")
 
 
@@ -357,7 +361,10 @@ SELECT s_suppkey,
        CASE WHEN s_suppkey % 3 = 0 THEN -1.0 ELSE s_acctbal END AS nan_guard,
        CASE WHEN NULLIF(s_nationkey, 5) IS NOT NULL
             THEN 'have' ELSE 'none' END AS nv2,
-       COALESCE(CAST(NULLIF(s_nationkey, 5) AS VARCHAR), 'missing') AS nvl_s
+       COALESCE(CAST(NULLIF(s_nationkey, 5) AS VARCHAR), 'missing') AS nvl_s,
+       to_hex(s_suppkey * 1000 + 48879) AS conv_hex,
+       CAST(('0x' || to_hex(s_suppkey * 1000 + 48879)) AS BIGINT) AS conv_dec,
+       regexp_matches(c_mktsegment, '^(AUTO|BUILD)') AS rx
 FROM supplier JOIN customer ON s_suppkey = c_custkey
 WHERE s_suppkey < 150
 ORDER BY s_suppkey
@@ -366,9 +373,14 @@ ORDER BY s_suppkey
 def expr_misc(spark, sf_dir):
     """Remaining §2.9 converter cases: FindInSet (find_in_set),
     EqualNullSafe (equal_null / <=>), NaN handling (nanvl via a
-    constructed NaN), nvl2, nvl — each with a DuckDB twin built from
-    list_position / IS NOT DISTINCT FROM / isnan-CASE. NULLIF(nk, 5)
-    manufactures NULLs so the null-safe paths are actually exercised."""
+    constructed NaN), nvl2, nvl, Conv (base 10->16 and the 16->10
+    round-trip), RLike — each with a DuckDB twin built from
+    list_position / IS NOT DISTINCT FROM / isnan-CASE / to_hex /
+    '0x'-cast / regexp_matches (reference converter cases:
+    ColumnarExpressionConverter.scala:484-493,
+    ColumnarUnaryOperator.scala). NULLIF(nk, 5) manufactures NULLs so
+    the null-safe paths are actually exercised; Spark's conv()
+    uppercase output matches DuckDB's to_hex."""
     s = t(spark, sf_dir, "supplier")
     c = t(spark, sf_dir, "customer")
     j = s.join(c, s.s_suppkey == c.c_custkey).filter(F.col("s_suppkey") < 150)
@@ -388,4 +400,15 @@ def expr_misc(spark, sf_dir):
         F.nanvl(maybe_nan, F.lit(-1.0)).alias("nan_guard"),
         F.nvl2(nk_s, F.lit("have"), F.lit("none")).alias("nv2"),
         F.nvl(nk_s.cast("string"), F.lit("missing")).alias("nvl_s"),
+        F.conv(
+            (F.col("s_suppkey") * 1000 + 48879).cast("string"), 10, 16
+        ).alias("conv_hex"),
+        F.conv(
+            F.conv((F.col("s_suppkey") * 1000 + 48879).cast("string"), 10, 16),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("conv_dec"),
+        F.col("c_mktsegment").rlike("^(AUTO|BUILD)").alias("rx"),
     ).orderBy("s_suppkey")

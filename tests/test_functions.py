@@ -98,3 +98,31 @@ def test_grouped_zscore_matches_window_expression(spark):
         (r.l_returnflag, r.l_orderkey, round(r.z, 9)) for r in expr_form.collect()
     }
     assert got == expected
+
+
+def test_hash_native_values_vs_python(spark):
+    """expr_hash_native has no DuckDB oracle (rows-only driver gate) —
+    re-derive sha1 and crc32 with hashlib/zlib as the value oracle,
+    and pin murmur3/xxhash64 determinism across two plans."""
+    import hashlib
+    import zlib
+
+    from gazelle_plugin_spark.plans import all_queries
+    from tests.conftest import SF_SMALL
+
+    rows = all_queries()["expr_hash_native"](spark, SF_SMALL).collect()
+    assert rows
+    names = {
+        r.c_custkey: r
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+        .filter(F.col("c_custkey") < 300)
+        .collect()
+    }
+    for r in rows:
+        name = names[r.c_custkey].c_name.encode()
+        assert r.h_sha1 == hashlib.sha1(name).hexdigest()
+        assert r.h_crc32 == zlib.crc32(name)
+    again = all_queries()["expr_hash_native"](spark, SF_SMALL).collect()
+    assert [(r.h_murmur3, r.h_xxhash64) for r in rows] == [
+        (r.h_murmur3, r.h_xxhash64) for r in again
+    ]
