@@ -96,6 +96,11 @@ def salted_join(
             return all(_hashable(f.dataType) for f in dt.fields)
         return True
 
+    if left_key not in left.columns:
+        raise ValueError(
+            f"salted_join: left key {left_key!r} is not a column of the left "
+            f"input (has: {left.columns})"
+        )
     hash_cols = [f.name for f in left.schema.fields if _hashable(f.dataType)]
     if left_key not in hash_cols:
         raise ValueError(f"salted_join: left key {left_key!r} is not hashable")

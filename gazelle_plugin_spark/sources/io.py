@@ -96,10 +96,14 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     per-file parallelism matches the file layout (write one file per
     partition, as write_arrow_ipc does).
 
-    Schema comes from decoding the SMALLEST file's content on the
-    driver — probed through the binaryFile ``content`` column, so it
-    works on any scheme binaryFile supports (file/hdfs/s3a) without
-    assuming the driver can open the path locally.
+    Schema comes from the SMALLEST file via a pyarrow-filesystem
+    footer read (no content transfer — an IPC file's schema lives in
+    its footer, so the probe is O(KB) however large the file); if no
+    pyarrow filesystem handles the scheme, falls back to collecting
+    that one file's content through the binaryFile ``content`` column.
+    Only ``*.arrow`` files are listed (pathGlobFilter), so a
+    crashed-attempt temp file can never be scanned or win the
+    smallest-file probe.
 
     Files above binaryFile's 2 GiB content ceiling are rejected up
     front with a clear error (the ``length`` column is file-status
@@ -107,11 +111,16 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     write_arrow_ipc's one-file-per-partition layout, so keep write
     partitions under 2 GiB (repartition before writing)."""
     import pyarrow as pa
+    import pyarrow.fs  # noqa: F401 - registers pa.fs
     import pyarrow.ipc as ipc
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    files = spark.read.format("binaryFile").load(path)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.arrow")
+        .load(path)
+    )
 
     # metadata-only probe: smallest file for the schema, largest for the guard
     stats = files.groupBy().agg(
@@ -128,9 +137,20 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
             "files written one-per-partition under 2 GiB "
             "(repartition before write_arrow_ipc)",
         )
-    probe = files.filter(F.col("path") == stats[0].smallest).select("content").collect()
-    with ipc.open_file(pa.BufferReader(probe[0].content)) as rd:
-        schema = rd.schema
+    try:
+        fs, fs_path = pa.fs.FileSystem.from_uri(stats[0].smallest)
+        with fs.open_input_file(fs_path) as f, ipc.open_file(f) as rd:
+            schema = rd.schema
+    except (pa.ArrowInvalid, ValueError, OSError):
+        # scheme pyarrow can't open (e.g. a custom Hadoop FS) — fall
+        # back to collecting the one smallest file's content
+        probe = (
+            files.filter(F.col("path") == stats[0].smallest)
+            .select("content")
+            .collect()
+        )
+        with ipc.open_file(pa.BufferReader(probe[0].content)) as rd:
+            schema = rd.schema
     spark_schema = from_arrow_schema(schema)
 
     def decode(batches):
@@ -153,11 +173,13 @@ def write_arrow_ipc(df: DataFrame, path: str) -> int:
     partitions write nothing). Returns the row count written.
 
     Commit protocol (task retries/speculation are routine at scale):
-    each task writes to a per-attempt temp name and atomically renames
-    to the deterministic ``part-<partitionId>.arrow`` on success — a
-    failed/duplicate attempt leaves at most a ``.tmp`` orphan, never a
-    truncated or double-counted part file, and a re-run of the same
-    partition overwrites rather than accumulates. A non-empty
+    each task writes to a DOT-PREFIXED per-attempt temp name and
+    atomically renames to the deterministic
+    ``part-<partitionId>.arrow`` on success — a failed/duplicate
+    attempt leaves at most a hidden ``.part-*.tmp`` orphan (invisible
+    to Spark's file listing AND to read_arrow_ipc's ``*.arrow`` glob),
+    never a truncated or double-counted part file, and a re-run of the
+    same partition overwrites rather than accumulates. A non-empty
     destination is refused (no silent accumulation across writes).
 
     Executors write directly to ``path`` — local mode or a shared
@@ -184,14 +206,15 @@ def write_arrow_ipc(df: DataFrame, path: str) -> int:
         writer, n, tmp = None, 0, None
         for batch in batches:
             if writer is None:
-                final = os.path.join(path, f"part-{ctx.partitionId():05d}.arrow")
-                tmp = f"{final}.{ctx.taskAttemptId()}.tmp"
+                tmp = os.path.join(
+                    path,
+                    f".part-{ctx.partitionId():05d}.{ctx.taskAttemptId()}.tmp",
+                )
                 writer = ipc.new_file(tmp, schema)
             writer.write_batch(batch)
             n += batch.num_rows
         if writer is not None:
             writer.close()
-            final = tmp.rsplit(".", 2)[0] + ".arrow"
             final = os.path.join(path, f"part-{ctx.partitionId():05d}.arrow")
             os.replace(tmp, final)
         yield pa.RecordBatch.from_pylist([{"n": n}], schema=pa.schema([("n", pa.int64())]))

@@ -134,6 +134,25 @@ def test_arrow_ipc_round_trip(spark, tmp_path):
     assert got == expected
 
 
+def test_arrow_ipc_reader_ignores_orphan_tmp(spark, tmp_path):
+    """Retry/speculation safety: a crashed first attempt leaves a
+    dot-prefixed .tmp orphan; the reader's *.arrow glob (and Spark's
+    hidden-file convention) must skip it — including for the
+    smallest-file schema probe, which a truncated orphan would
+    otherwise win."""
+    from gazelle_plugin_spark.sources.io import read_arrow_ipc, write_arrow_ipc
+
+    df = read(spark, table_path(SF_SMALL, "nation")).select(
+        "n_nationkey", "n_name"
+    )
+    path = tmp_path / "ipc_orphan"
+    n = write_arrow_ipc(df, str(path))
+    # simulate a killed attempt: tiny truncated temp file left behind
+    (path / ".part-00000.99.tmp").write_bytes(b"ARROW1\x00")
+    back = read_arrow_ipc(spark, str(path))
+    assert back.count() == n == 25
+
+
 def test_csv_permissive_corrupt_records(spark, tmp_path):
     """Ingestion robustness: PERMISSIVE mode lands malformed CSV rows
     in _corrupt_record instead of failing the 100 TB job; DROPMALFORMED
