@@ -604,3 +604,49 @@ def events_frames(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+),
+first AS (
+  SELECT user_id, MIN(w) AS cw FROM act GROUP BY user_id
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cw, w) // 7 AS INT) AS week_k,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY cw, datediff('day', cw, w) // 7
+ORDER BY cohort_week, week_k
+""",
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each subsequent week they were active — the standard
+    product-analytics rollup an event warehouse must serve.
+
+    Shape: distinct (user, week) -> per-user min week -> join back ->
+    (cohort, offset) counts. Both the distinct and the min shuffle on
+    user_id (one partitioning, reused); the retention matrix itself is
+    O(weeks^2) rows. After the distinct, each (user, week) row is
+    unique, so COUNT(*) per (cohort, offset) IS the distinct-user
+    count — no second distinct needed. Week offsets divide exactly by
+    7 (both bounds are Monday midnights)."""
+    e = events(spark, sf_dir)
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        act.join(first, "user_id")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("CAST(datediff(w, cw) div 7 AS INT)").alias("week_k"),
+        )
+        .groupBy("cohort_week", "week_k")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_k")
+    )

@@ -253,9 +253,10 @@ _SQL_BANDS = " UNION ALL ".join(
 )
 
 
-@query(
-    "doc_minhash_neardup",
-    oracle=f"""
+#: Verified near-dup pairs (the doc_minhash_neardup chain minus the
+#: final ORDER BY) as an oracle CTE body — shared by the pair query
+#: and the connected-components clustering built on top of it.
+_SQL_NEARDUP_PAIRS = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 mh AS ({_SQL_MINHASH}),
 bands AS ({_SQL_BANDS}),
@@ -277,8 +278,12 @@ FROM inter
 JOIN sizes n1 ON d1 = n1.doc_id
 JOIN sizes n2 ON d2 = n2.doc_id
 WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= {JACCARD_THRESHOLD}
-ORDER BY d1, d2
-""",
+"""
+
+
+@query(
+    "doc_minhash_neardup",
+    oracle=_SQL_NEARDUP_PAIRS + "ORDER BY d1, d2",
 )
 def doc_minhash_neardup(spark, sf_dir):
     """Near-duplicate detection: MinHash + LSH banding + in-bucket
@@ -297,6 +302,13 @@ def doc_minhash_neardup(spark, sf_dir):
     no matter how many bands were added. Independent md5 permutations
     keep recall at 256/256; hashing stays the embarrassingly-parallel
     linear term at scale."""
+    return _neardup_pairs(spark, sf_dir).orderBy("d1", "d2")
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified (jaccard >= threshold) near-dup pairs, unordered —
+    the shared plan under doc_minhash_neardup and
+    doc_neardup_components."""
     sh = _shingles(spark, sf_dir)
     mh = _minhash_sig(spark, sf_dir)
     band_arr = F.array(
@@ -339,7 +351,6 @@ def doc_minhash_neardup(spark, sf_dir):
         .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("d1", "d2")
     )
 
 
@@ -728,3 +739,127 @@ def doc_simhash(spark, sf_dir):
         """
     )
     return d.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+#: Connected-components iteration cap: near-dup graphs are unions of
+#: near-cliques, so min-label propagation converges in a handful of
+#: rounds; the cap only guards a pathological long-chain graph.
+MAX_CC_ITERS = 20
+
+
+@query(
+    "doc_train_split",
+    oracle=f"""
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (SELECT lang, n_chars,
+             CASE WHEN {sql_md5h60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents)
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def doc_train_split(spark, sf_dir):
+    """Deterministic train/validation split: bucket = md5h60(doc_id)
+    mod 100, <90 -> train. The standard 100 TB split discipline — a
+    pure hash of the key, so membership is stable across runs,
+    cluster sizes, and engines (no sampling nondeterminism), and the
+    split can be recomputed anywhere without a membership table. Zero
+    shuffles before the small per-(split, lang) audit aggregate."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(md5h60(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.when(bucket < 90, "train").otherwise("val")
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "doc_neardup_components",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({_SQL_NEARDUP_PAIRS}) p
+),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs
+  UNION ALL
+  SELECT d2 AS u, d1 AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+FROM reach
+GROUP BY u
+ORDER BY doc_id
+""",
+)
+def doc_neardup_components(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash near-dup pair graph, labeling every clustered doc with its
+    component's minimum doc_id (the canonical representative a dedup
+    pass would keep). Singleton docs are their own trivial cluster and
+    are omitted.
+
+    Iterative min-label propagation (the MapReduce connected-components
+    pattern of Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each round sends every vertex's current label to its
+    neighbors and takes the min — O(diameter) rounds; near-dup
+    components are near-cliques so 2-3 rounds suffice. Each round is
+    ONE shuffle on doc_id over the (tiny) pair graph, never over the
+    corpus; ``localCheckpoint`` truncates lineage so round N's plan
+    does not replay rounds 1..N-1 (on a production cluster, swap for
+    reliable ``checkpoint``). The per-round convergence test is a
+    COUNT (an aggregate action, not a data collect).
+
+    The oracle reaches the same fixpoint declaratively: DuckDB
+    recursive-CTE transitive closure + min over the reachable set —
+    genuinely iterative semantics, SQL-expressible only via WITH
+    RECURSIVE."""
+    pairs = _neardup_pairs(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).toDF("src", "dst")
+    edges = edges.localCheckpoint(eager=True)  # pair graph computed once
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ITERS):
+        msgs = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), "lbl"
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"doc_neardup_components did not converge in {MAX_CC_ITERS} rounds"
+        )
+    return labels.select("doc_id", F.col("lbl").alias("component")).orderBy(
+        "doc_id"
+    )
