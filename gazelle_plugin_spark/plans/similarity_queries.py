@@ -471,3 +471,72 @@ def emb_centroid_assign(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "nearest_label")
     )
+
+
+@query(
+    "emb_quantize",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
+                  1e-30) / 127 AS scale
+  FROM embeddings
+),
+qd AS (
+  SELECT vec_id, label, scale, embedding,
+         list_transform(embedding, x -> round(x::DOUBLE / scale)::INT) AS q
+  FROM base
+)
+SELECT vec_id, label,
+       ROUND(scale, 9) AS scale,
+       CAST(list_max(list_transform(q, x -> abs(x))) AS INT) AS q_max,
+       ROUND(list_sum(list_transform(list_zip(embedding, q),
+             p -> pow(p[1]::DOUBLE - p[2]::DOUBLE * scale, 2))), 9) AS sq_err
+FROM qd
+ORDER BY vec_id
+""",
+)
+def emb_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column —
+    the storage/bandwidth prep step for ANN at scale (4x smaller than
+    float32; IVF/LSH probes then score against dequantized or int8
+    vectors). Per-vector scale = max|x|/127 (guarded against
+    all-zero vectors), q_i = round(x_i/scale); outputs the scale, the
+    max |q| (bounded by 127 by construction) and the squared
+    reconstruction error.
+
+    Pure per-row array expressions — zero shuffles before the ORDER
+    BY; both engines fold arrays in element order so the doubles are
+    bit-identical before the belt-and-braces ROUND."""
+    v = t(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    # internal name differs from the output alias: an output alias
+    # named like an input column SHADOWS it for sibling expressions in
+    # the same select (sq_err would silently use the ROUNDED scale —
+    # caught by the oracle hash compare)
+    base = v.withColumn("qscale", F.greatest(mx, F.lit(1e-30)) / F.lit(127.0))
+    qd = base.withColumn(
+        "q",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / F.col("qscale")).cast("int"),
+        ),
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "q",
+            lambda x, qi: F.pow(
+                x.cast("double") - qi.cast("double") * F.col("qscale"), F.lit(2.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return qd.select(
+        "vec_id",
+        "label",
+        F.round("qscale", 9).alias("scale"),
+        F.array_max(F.transform("q", F.abs)).cast("int").alias("q_max"),
+        F.round(sq_err, 9).alias("sq_err"),
+    ).orderBy("vec_id")

@@ -863,3 +863,75 @@ def doc_neardup_components(spark, sf_dir):
     return labels.select("doc_id", F.col("lbl").alias("component")).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "doc_curation_pipeline",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents
+),
+quality AS (
+  SELECT doc_id, text, lang, len(w) AS n_tokens
+  FROM toks
+  WHERE len(w) >= 30
+    AND CAST(len(list_filter(w, x -> list_contains(
+          ['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        / len(w) >= 0.01
+),
+deduped AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN {sql_md5h60("CAST(doc_id AS VARCHAR)")} % 100 < 90
+            THEN 'train' ELSE 'val' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM deduped
+GROUP BY 1, lang
+ORDER BY split, lang
+""",
+)
+def doc_curation_pipeline(spark, sf_dir):
+    """End-to-end curation chain in ONE declarative plan — the shape a
+    training-data job actually runs: quality gate (length + stopword
+    ratio) -> exact dedup keeping the lowest doc_id per md5(text) ->
+    deterministic hash split -> audit counts.
+
+    Because it is one plan, Catalyst fuses the quality filter into the
+    scan (pushed/codegen'd before the dedup shuffle) and the pipeline
+    pays exactly TWO shuffles at any scale: the dedup hash-partition on
+    md5(text) and the final tiny aggregate — the split assignment is a
+    pure per-row hash, free. An imperative stage-by-stage version
+    would materialize the corpus between stages."""
+    d = _tokens(spark, sf_dir)
+    n = F.size("w")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter("w", lambda x: F.array_contains(stop_arr, x))).cast(
+            "double"
+        )
+        / n
+    )
+    quality = d.filter((n >= 30) & (stop_ratio >= 0.01)).select(
+        "doc_id", "text", "lang", n.alias("n_tokens")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    deduped = quality.withColumn("rn", rn).filter(F.col("rn") == 1)
+    bucket = F.pmod(md5h60(F.col("doc_id").cast("string")), F.lit(100))
+    split = F.when(bucket < 90, "train").otherwise("val")
+    return (
+        deduped.select(split.alias("split"), "lang", "n_tokens")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
