@@ -534,3 +534,87 @@ def rel_agg_stats(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+#: Fixed pivot column domain — explicit values keep the output schema
+#: static (a discovery pivot would scan once just to learn the
+#: columns, and its schema would drift with the data).
+MKT_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "rel_pivot",
+    oracle=f"""
+SELECT n_name,
+       {", ".join(
+         f"CAST(COALESCE(SUM(CASE WHEN c_mktsegment = '{s}' "
+         f"THEN 1 END), 0) AS BIGINT) AS {s.lower()}"
+         for s in MKT_SEGMENTS)}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def rel_pivot(spark, sf_dir):
+    """PIVOT: per-nation customer counts spread across market-segment
+    columns via the real ``.pivot()`` relational operator (not a
+    hand-rolled CASE bundle — Catalyst rewrites it into exactly that
+    conditional-aggregate form, asserted equivalent by the oracle's
+    explicit CASE formulation). The value list is EXPLICIT, so the
+    plan is a single aggregate pass — no discovery scan — and the
+    output schema cannot drift with the data."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    pivoted = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", list(MKT_SEGMENTS))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s.lower())
+            for s in MKT_SEGMENTS
+        ],
+    )
+    return renamed.orderBy("n_name")
+
+
+@query(
+    "rel_unpivot",
+    oracle="""
+SELECT n_name, metric, val
+FROM (
+  SELECT n_name,
+         CAST(COUNT(*) AS DOUBLE) AS n_cust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+         CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+) UNPIVOT (val FOR metric IN (n_cust, total_bal, max_bal))
+ORDER BY n_name, metric
+""",
+)
+def rel_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: wide per-nation aggregates back to long
+    (nation, metric, value) form via the real ``.unpivot()`` operator
+    (Spark 3.4+; Catalyst expands it to the same Expand node the
+    reference implements for rollups). Metrics are pre-cast to one
+    common DOUBLE type — unpivot requires a least-common value type,
+    and the decimal-exact sum keeps the doubles engine-identical."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_cust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["n_cust", "total_bal", "max_bal"], "metric", "val"
+    ).orderBy("n_name", "metric")
