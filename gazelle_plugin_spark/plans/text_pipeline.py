@@ -935,3 +935,64 @@ def doc_curation_pipeline(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "doc_repetition",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, array_to_string(w[i.i:i.i+1], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2) toks,
+       UNNEST(generate_series(1, len(w) - 1)) AS i(i)
+),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_2grams,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS uniq_frac,
+       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS top_frac
+FROM cnt
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_repetition(spark, sf_dir):
+    """Repetition-based quality scores (the Gopher/MassiveText rule
+    family: drop documents dominated by repeated n-grams): per doc,
+    the total 2-gram count, the distinct fraction, and the most
+    frequent 2-gram's share. A curation pass filters on thresholds of
+    these columns (e.g. top_frac > 0.2 -> boilerplate/spam).
+
+    Shape at scale: explode to 2-grams, ONE shuffle on (doc_id, gram)
+    for the counts (map-side combinable), then a per-doc aggregate
+    that reuses the same doc_id-prefixed partitioning. No arrays are
+    carried through the shuffle — only (doc_id, gram, count) rows."""
+    d = _tokens(spark, sf_dir).filter(F.size("w") >= 2)
+    grams = _maybe_spread(d).select(
+        "doc_id",
+        F.explode(
+            # NB: bracket indexing is 0-BASED in Spark SQL lambdas
+            # (element_at is the 1-based accessor)
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat_ws(' ', w[i], w[i + 1]))"
+            )
+        ).alias("gram"),
+    )
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            total.cast("long").alias("n_2grams"),
+            F.round(F.count(F.lit(1)).cast("double") / total.cast("double"), 6).alias(
+                "uniq_frac"
+            ),
+            F.round(F.max("c").cast("double") / total.cast("double"), 6).alias(
+                "top_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
