@@ -1,0 +1,91 @@
+"""Distributed connected components — the iterative-graph operator a
+dedup pipeline needs to turn near-duplicate PAIRS into CLUSTERS.
+
+Algorithm: min-label propagation with pointer jumping. Each round
+does (a) a neighbor-min step — every vertex takes the min of its own
+label and its neighbors' labels (one shuffle of the edge list) — and
+(b) a pointer-jump step — every vertex replaces its label by its
+label's label (one shuffle of the label table), which halves label-
+chain depth. (a) alone is the textbook MapReduce CC and needs
+O(diameter) rounds; with (b) convergence is O(log diameter) — a
+1000-hop chain closes in ~10 rounds (pinned in tests/test_graph.py).
+This is the hashing-to-min-label family of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (their large-star/small-star is
+the edge-rewriting variant of the same bound).
+
+Scale posture: every round shuffles the EDGE list and the LABEL table
+(both O(|V| + |E|) of the graph, typically orders of magnitude
+smaller than the corpus the graph was derived from), never the source
+data. ``localCheckpoint`` truncates lineage each round so round N
+does not replay rounds 1..N-1; swap for reliable ``checkpoint`` (HDFS
+/ object store) on a production cluster. The per-round convergence
+probe is a COUNT aggregate — no data is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Round cap: with pointer jumping, rounds grow with log2(diameter) —
+#: 30 covers diameters up to ~2^29 vertices-in-a-line, far beyond any
+#: real near-dup graph; hitting the cap indicates a logic bug, so it
+#: raises rather than returning partial labels.
+MAX_ITERS = 30
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = MAX_ITERS
+) -> DataFrame:
+    """Label every vertex of the undirected graph ``edges`` with its
+    component's minimum vertex id.
+
+    ``edges`` may list each pair once in either orientation; it is
+    symmetrized internally. Returns ``(vertex, component)`` with one
+    row per DISTINCT vertex appearing in ``edges``.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)  # computed once
+
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("lbl", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # (a) neighbor-min: vertex takes min(own, neighbors' labels)
+        msgs = sym.join(labels, sym.u == labels.vertex).select(
+            F.col("v").alias("vertex"), "lbl"
+        )
+        stepped = (
+            labels.union(msgs).groupBy("vertex").agg(F.min("lbl").alias("lbl"))
+        )
+        # (b) pointer jump: lbl <- label(lbl), halving chain depth
+        parent = stepped.select(
+            F.col("vertex").alias("p_vertex"), F.col("lbl").alias("p_lbl")
+        )
+        jumped = (
+            stepped.join(parent, stepped.lbl == parent.p_vertex, "left")
+            .select(
+                "vertex",
+                F.coalesce(F.col("p_lbl"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    return labels.select(F.col("vertex"), F.col("lbl").alias("component"))

@@ -30,6 +30,7 @@ from operator import add
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gazelle_plugin_spark.operators.graph import connected_components
 from gazelle_plugin_spark.plans import query
 from gazelle_plugin_spark.plans._util import md5h60, sql_md5h60, t
 
@@ -741,10 +742,6 @@ def doc_simhash(spark, sf_dir):
     return d.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
-#: Connected-components iteration cap: near-dup graphs are unions of
-#: near-cliques, so min-label propagation converges in a handful of
-#: rounds; the cap only guards a pathological long-chain graph.
-MAX_CC_ITERS = 20
 
 
 @query(
@@ -811,58 +808,21 @@ def doc_neardup_components(spark, sf_dir):
     pass would keep). Singleton docs are their own trivial cluster and
     are omitted.
 
-    Iterative min-label propagation (the MapReduce connected-components
-    pattern of Kiveris et al., "Connected Components in MapReduce and
-    Beyond"): each round sends every vertex's current label to its
-    neighbors and takes the min — O(diameter) rounds; near-dup
-    components are near-cliques so 2-3 rounds suffice. Each round is
-    ONE shuffle on doc_id over the (tiny) pair graph, never over the
-    corpus; ``localCheckpoint`` truncates lineage so round N's plan
-    does not replay rounds 1..N-1 (on a production cluster, swap for
-    reliable ``checkpoint``). The per-round convergence test is a
-    COUNT (an aggregate action, not a data collect).
+    Delegates to :func:`operators.graph.connected_components`
+    (min-label propagation + pointer jumping, O(log diameter) rounds;
+    every round shuffles only the pair graph, never the corpus —
+    algorithm/scale notes and the chain/clique/union-find property
+    tests live with the operator).
 
     The oracle reaches the same fixpoint declaratively: DuckDB
     recursive-CTE transitive closure + min over the reachable set —
     genuinely iterative semantics, SQL-expressible only via WITH
     RECURSIVE."""
     pairs = _neardup_pairs(spark, sf_dir).select("d1", "d2")
-    edges = pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).toDF("src", "dst")
-    edges = edges.localCheckpoint(eager=True)  # pair graph computed once
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(MAX_CC_ITERS):
-        msgs = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), "lbl"
-        )
-        new_labels = (
-            labels.union(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"doc_neardup_components did not converge in {MAX_CC_ITERS} rounds"
-        )
-    return labels.select("doc_id", F.col("lbl").alias("component")).orderBy(
-        "doc_id"
-    )
+    labels = connected_components(pairs, src="d1", dst="d2")
+    return labels.select(
+        F.col("vertex").alias("doc_id"), "component"
+    ).orderBy("doc_id")
 
 
 @query(
