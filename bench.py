@@ -48,6 +48,8 @@ PIPELINE_BENCH = [
     "emb_ivf_search",
     "events_sessionize",
     "events_asof_join",
+    "doc_curation_pipeline",
+    "doc_neardup_components",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
