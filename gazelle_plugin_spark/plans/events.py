@@ -650,3 +650,56 @@ def events_cohort_retention(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_k")
     )
+
+
+@query(
+    "events_zscore",
+    oracle="""
+SELECT user_id, event_id, value, z FROM (
+  SELECT user_id, event_id, value,
+         ROUND((value - s1 / n) /
+               (CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                     THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END), 6) AS z
+  FROM (
+    SELECT user_id, event_id, value,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(14,4))) OVER w AS DOUBLE) AS s2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+  )
+)
+WHERE abs(z) > 2.5
+ORDER BY user_id, event_id
+""",
+)
+def events_zscore(spark, sf_dir):
+    """Per-user anomaly detection: events whose value deviates more
+    than 2.5 sample standard deviations from that user's mean — the
+    outlier-flagging pass an event pipeline runs before training on
+    behavioral data.
+
+    ONE shuffle total: mean/stddev come from an unordered window over
+    user_id (no ORDER BY -> whole-partition frame), so each event is
+    scored in the same pass that computes its user's moments — no
+    aggregate + join-back. stddev uses the algebraic decimal-exact
+    form (sum, sum-of-squares) for cross-engine FP identity; value has
+    2 fractional digits so value^2 is exact in DECIMAL(14,4)."""
+    e = events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(dec("value")).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(14,4)"))
+        .over(w)
+        .cast("double")
+    )
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    std = F.when((n > 1) & (var > 0), F.sqrt(var))
+    z = F.round((F.col("value") - mean) / std, 6)
+    return (
+        e.select("user_id", "event_id", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .orderBy("user_id", "event_id")
+    )
