@@ -956,3 +956,70 @@ def doc_repetition(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: Docs with doc_id < this bound stand in for the "evaluation
+#: benchmark" set in the decontamination query.
+BENCH_SET_MAX_ID = 20
+
+
+@query(
+    "doc_contamination",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {BENCH_SET_MAX_ID}),
+scored AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_shingles,
+         COUNT(bench.s) AS n_overlap
+  FROM sh LEFT JOIN bench ON sh.s = bench.s
+  WHERE sh.doc_id >= {BENCH_SET_MAX_ID}
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS contamination
+FROM scored
+WHERE n_overlap > 0
+ORDER BY contamination DESC, doc_id
+""",
+)
+def doc_contamination(spark, sf_dir):
+    """Benchmark decontamination: for every corpus document, the
+    fraction of its 3-gram shingles that also occur in the evaluation
+    set (here: docs with id < {BENCH_SET_MAX_ID} stand in for the eval
+    suite) — the screen a training pipeline runs so test data does not
+    leak into training data. Only contaminated docs are emitted,
+    most-contaminated first.
+
+    Scale shape: the benchmark shingle set is DISTINCT'd and
+    broadcast (eval suites are tiny next to a corpus), so corpus
+    shingles stream through one broadcast join and aggregate on
+    doc_id — no corpus self-join, no shuffle of the benchmark side."""
+    sh = _shingles(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") < BENCH_SET_MAX_ID)
+        .select(F.col("s").alias("bs"))
+        .distinct()
+    )
+    scored = (
+        sh.filter(F.col("doc_id") >= BENCH_SET_MAX_ID)
+        .join(F.broadcast(bench), sh.s == F.col("bs"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("bs").alias("n_overlap"),
+        )
+    )
+    return (
+        scored.filter(F.col("n_overlap") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+        .orderBy(F.desc("contamination"), "doc_id")
+    )
