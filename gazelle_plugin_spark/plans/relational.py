@@ -618,3 +618,52 @@ def rel_unpivot(spark, sf_dir):
     return wide.unpivot(
         ["n_name"], ["n_cust", "total_bal", "max_bal"], "metric", "val"
     ).orderBy("n_name", "metric")
+
+
+@query(
+    "rel_semi_anti",
+    oracle="""
+SELECT n_name,
+       CAST(COUNT(*) FILTER (WHERE kind = 's') AS BIGINT) AS n_semi,
+       CAST(COUNT(*) FILTER (WHERE kind = 'a') AS BIGINT) AS n_anti
+FROM (
+  SELECT 's' AS kind, c_nationkey FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+  UNION ALL
+  SELECT 'a' AS kind, c_nationkey FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+)
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def rel_semi_anti(spark, sf_dir):
+    """Explicit ``left_semi`` / ``left_anti`` join API (the DataFrame
+    surface over the EXISTS / NOT EXISTS plans the TPC-H queries reach
+    via subqueries): customers with/without a >400k order, counted per
+    nation. Semi and anti scan the same filtered build side; their
+    union partitions the customer set exactly (semi + anti = all),
+    which the oracle's EXISTS/NOT EXISTS formulation mirrors."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("s").alias("kind"), "c_nationkey"
+    )
+    anti = c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        F.lit("a").alias("kind"), "c_nationkey"
+    )
+    both = semi.union(anti).join(
+        F.broadcast(n), F.col("c_nationkey") == n.n_nationkey
+    )
+    return (
+        both.groupBy("n_name")
+        .agg(
+            F.count(F.when(F.col("kind") == "s", 1)).alias("n_semi"),
+            F.count(F.when(F.col("kind") == "a", 1)).alias("n_anti"),
+        )
+        .orderBy("n_name")
+    )
