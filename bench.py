@@ -148,7 +148,13 @@ def main() -> None:
     from gazelle_plugin_spark.plans import all_queries
 
     queries = all_queries()
-    default_names = sorted(n for n in queries if n.startswith("q")) + PIPELINE_BENCH
+    # TPC-H q1-q22 + SSB 1.1-4.3 (BASELINE.md's promised sets) + the
+    # LLM-pipeline representatives.
+    default_names = (
+        sorted(n for n in queries if n.startswith("q"))
+        + sorted(n for n in queries if n.startswith("ssb"))
+        + PIPELINE_BENCH
+    )
     names = args or default_names
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -194,28 +200,43 @@ def main() -> None:
 
         timings, errors = {}, {}
         vtimings, verrors = {}, {}
+        worker_dead = False
         for name in names:
             try:
                 timings[name] = _time_one(spark, queries[name], sf_dir)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            proc.stdin.write(name + "\n")
-            proc.stdin.flush()
-            ans = json.loads(proc.stdout.readline())
+            if worker_dead:
+                verrors[name] = "worker died"
+                continue
+            # A worker-JVM death (OOM/segfault) must not erase the
+            # accumulated timings: record it and continue engine-only.
+            try:
+                proc.stdin.write(name + "\n")
+                proc.stdin.flush()
+                line = proc.stdout.readline()
+                ans = json.loads(line)
+            except (BrokenPipeError, OSError, json.JSONDecodeError) as exc:
+                worker_dead = True
+                verrors[name] = f"worker died: {type(exc).__name__}"
+                continue
             if "sec" in ans:
                 vtimings[name] = ans["sec"]
             else:
                 verrors[name] = ans["err"]
-        proc.stdin.close()
-        proc.wait(timeout=60)
+        try:
+            proc.stdin.close()
+            proc.wait(timeout=60)
+        except Exception:  # noqa: BLE001 - hung worker: kill, keep results
+            proc.kill()
         spark.stop()
 
-        ratios = [
-            vtimings[n] / timings[n]
-            for n in names
-            if timings.get(n) and vtimings.get(n)
-        ]
-        result["vanilla_total"] = round(sum(vtimings.values()), 4)
+        # like-for-like totals: only queries BOTH sides completed
+        both = [n for n in names if timings.get(n) and vtimings.get(n)]
+        ratios = [vtimings[n] / timings[n] for n in both]
+        result["compared_queries"] = len(both)
+        result["engine_total_compared"] = round(sum(timings[n] for n in both), 4)
+        result["vanilla_total"] = round(sum(vtimings[n] for n in both), 4)
         result["vanilla_queries"] = vtimings
         if verrors:
             result["vanilla_errors"] = verrors

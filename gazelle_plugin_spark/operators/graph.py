@@ -43,6 +43,12 @@ def connected_components(
     ``edges`` may list each pair once in either orientation; it is
     symmetrized internally. Returns ``(vertex, component)`` with one
     row per DISTINCT vertex appearing in ``edges``.
+
+    Upgrade path for adversarial graphs (long chains / huge skewed
+    components): switch the round body to Kiveris et al.'s
+    large-star/small-star edge rewriting — logarithmic rounds with the
+    same per-round join shape, and it additionally shrinks the edge
+    list each round; see SCALE.md for the trade-off discussion.
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")

@@ -129,13 +129,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity
-#: is structurally impossible (approx_count_distinct sketches, Spark
-#: murmur3 hash values, binary feature extraction DuckDB can't run);
-#: the driver records a rows-only check for these, pytest pins their
-#: values (test_relational/test_expressions/test_multimodal).
-ROWS_ONLY_WINDOW = frozenset(
-    {"rel_approx_agg", "expr_hash_native", "mm_byte_features"}
-)
+#: is structurally impossible (Spark murmur3/xxhash64 values); the
+#: driver records a rows-only check, pytest pins the values
+#: (test_functions/test_expressions). rel_approx_agg and
+#: mm_byte_features graduated to hash oracles in round 6 (exact
+#: values + in-bounds booleans / ASCII byte re-derivation).
+ROWS_ONLY_WINDOW = frozenset({"expr_hash_native"})
 
 
 def _curated(reg: dict[str, str | QueryFn]) -> dict:

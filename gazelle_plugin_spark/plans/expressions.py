@@ -120,19 +120,28 @@ SELECT o_orderkey,
        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS ld,
        CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS epoch_s,
        strftime(o_orderdate, '%Y-%m-%d') AS fmt,
-       CAST(make_date(CAST(year(o_orderdate) AS INT), 6, 15) AS TIMESTAMP) AS md
+       CAST(make_date(CAST(year(o_orderdate) AS INT), 6, 15) AS TIMESTAMP) AS md,
+       make_timestamp((800000000 + o_orderkey * 3600) * 1000000) AS ts_s,
+       make_timestamp(((800000000 + o_orderkey * 3600) * 1000 + 123) * 1000) AS ts_ms,
+       make_timestamp((800000000 + o_orderkey * 3600) * 1000000 + 456789) AS ts_us,
+       make_timestamp(CAST(year(o_orderdate) AS BIGINT), 6, 15, 12, 30, 45.5) AS mk_ts
 FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
 """,
 )
 def expr_datetime(spark, sf_dir):
     """Datetime expression table: year/month/day/quarter/dayofweek/
     dayofyear/weekofyear/date_trunc/add_months/date_add/datediff/
-    last_day/unix seconds/date_format/make_date
-    (ColumnarDateTimeExpressions.scala:60-801 parity; Spark semantics
-    kept where the reference deviated)."""
+    last_day/unix seconds/date_format/make_date, plus the epoch
+    conversion tail: timestamp_seconds / timestamp_millis /
+    timestamp_micros / make_timestamp
+    (ColumnarDateTimeExpressions.scala:60-801 parity incl. the
+    SecondsToTimestamp/MillisToTimestamp/MicrosToTimestamp/
+    MakeTimestamp cases; Spark semantics kept where the reference
+    deviated)."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
     d = F.col("o_orderdate")
     dt = F.to_date(d)
+    secs = (F.lit(800000000) + F.col("o_orderkey") * 3600).cast("long")
     return o.select(
         "o_orderkey",
         F.year(d).alias("yr"),
@@ -152,6 +161,12 @@ def expr_datetime(spark, sf_dir):
         ),
         F.date_format(d, "yyyy-MM-dd").alias("fmt"),
         F.make_date(F.year(d), F.lit(6), F.lit(15)).cast("timestamp").alias("md"),
+        F.timestamp_seconds(secs).alias("ts_s"),
+        F.timestamp_millis(secs * 1000 + 123).alias("ts_ms"),
+        F.timestamp_micros(secs * 1000000 + 456789).alias("ts_us"),
+        F.expr(
+            "make_timestamp(year(o_orderdate), 6, 15, 12, 30, 45.5)"
+        ).alias("mk_ts"),
     ).orderBy("o_orderkey")
 
 

@@ -102,7 +102,12 @@ def q2(spark, sf_dir):
     threshold is a single-pass window (max over partition by
     l_partkey) instead of the classic agg + self-join of the linked
     fact: one shuffle on l_partkey, the probe side is read once
-    (round-2 verdict item 9)."""
+    (round-2 verdict item 9). The highly selective part predicate is
+    broadcast-SEMI-joined against the linkage BEFORE the window: the
+    per-partkey max is invariant to which parts survive, so dropping
+    non-qualifying parts early is semantics-preserving and the window
+    shuffle carries only rows for surviving parts (~1/250th at SF1+;
+    round-5 verdict item 2)."""
     from pyspark.sql import Window
 
     part = t(spark, sf_dir, "part").filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
@@ -116,8 +121,11 @@ def q2(spark, sf_dir):
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    linked = lineitem.select("l_partkey", "l_suppkey").join(
-        eu_sup, lineitem.l_suppkey == eu_sup.s_suppkey
+    part_keys = part.select(F.col("p_partkey").alias("l_partkey"))
+    linked = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part_keys), "l_partkey", "left_semi")
+        .join(eu_sup, lineitem.l_suppkey == eu_sup.s_suppkey)
     )
     w = Window.partitionBy("l_partkey")
     return (

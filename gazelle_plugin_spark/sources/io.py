@@ -141,9 +141,11 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
         fs, fs_path = pa.fs.FileSystem.from_uri(stats[0].smallest)
         with fs.open_input_file(fs_path) as f, ipc.open_file(f) as rd:
             schema = rd.schema
-    except (pa.ArrowInvalid, ValueError, OSError):
-        # scheme pyarrow can't open (e.g. a custom Hadoop FS) — fall
-        # back to collecting the one smallest file's content
+    except (pa.ArrowException, ValueError, OSError):
+        # scheme pyarrow can't open or recognizes-but-can't-handle
+        # (from_uri raises ArrowNotImplementedError for those — a
+        # subclass of ArrowException, as is ArrowInvalid); fall back
+        # to collecting the one smallest file's content
         probe = (
             files.filter(F.col("path") == stats[0].smallest)
             .select("content")

@@ -218,15 +218,17 @@ def test_range_join_buckets_boundaries(spark):
 
 
 def test_approx_aggregates_are_close_to_exact(spark):
-    """The rows-only rel_approx_agg entry: HLL estimate within 10% of
-    exact distinct count; approx median inside the value range."""
+    """rel_approx_agg emits in-bounds booleans (the hash-compared
+    sketch contract): every group's HLL and approx-median must land
+    inside their error bounds."""
     from gazelle_plugin_spark.plans import all_queries
 
     rows = all_queries()["rel_approx_agg"](spark, "/root/testdata/sf0.01").collect()
     assert rows
     for r in rows:
-        assert abs(r.approx_supp - r.exact_supp) <= 0.1 * r.exact_supp
-        assert 1.0 <= r.approx_median_qty <= 50.0
+        assert r.supp_ok and r.median_ok
+        assert r.exact_supp > 0
+        assert 1.0 <= r.exact_median_qty <= 50.0
 
 
 # -------------------------------------------- exchange / sort / projection
