@@ -24,8 +24,6 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import add
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -631,32 +629,59 @@ def doc_simhash_neardup(spark, sf_dir):
     15-bit fingerprint bands (a <=3-bit-flip pair ALWAYS shares a
     clean band; more distant pairs probabilistically), and only
     candidates pay the bit_count verify. No all-pairs comparison
-    (plan-gated)."""
-    # fingerprint via columnar aggregation (60 conditional sums inside
-    # whole-stage codegen with map-side partials) — the nested
-    # higher-order-function form is INTERPRETED per row and ~50x
-    # slower; see doc_simhash for the expression form on a bounded set
+    (plan-gated).
+
+    The fingerprint table is localCheckpoint'd (lazily) before the
+    band self-join: both join sides derive from it, and with a
+    broadcast build side Spark computes the whole corpus-scan +
+    fingerprint subtree TWICE (no exchange reuse across a
+    BroadcastExchange) — measured at 1.22x vanilla in round 5, and
+    2x-the-fingerprint cost in both engines. The table is O(n_docs)
+    rows x 16 bytes — persisting it is the standard move before any
+    self-join at 100 TB (same pattern as operators/graph.py); swap
+    for reliable ``checkpoint`` on a production cluster."""
+    # fingerprint via columnar aggregation with PACKED lanes: 3 bit-
+    # counters per 64-bit sum (20-bit lanes), so the groupBy carries 21
+    # agg columns instead of 61. The lane packing matters twice: (a)
+    # less aggregation state through the shuffle, and (b) the round-5
+    # 60-conditional-sum form generated a janino compile so large that
+    # COLD runs cost ~6.8s vs ~1.4s packed (measured round 6) — the
+    # wide-agg codegen dominated the whole query. A lane holds counts
+    # up to 2^20-1 shingles/doc (a ~10 MB document) — beyond that,
+    # chunk docs upstream. The nested higher-order-function form is
+    # INTERPRETED per row and ~50x slower (see doc_simhash for the
+    # expression form on a bounded set); per-bit majority vote is
+    # reconstructed from the lanes AFTER aggregation, where only
+    # n_docs rows remain, so an interpreted fold is free there.
     hv = md5h60(F.col("s"))
-    bit_weights = [
+    packed = [
         F.sum(
-            F.expr(f"if((hv div shiftleft(1L, {b})) % 2 = 1, 1, -1)")
-        ).alias(f"w{b}")
-        for b in range(60)
+            F.expr(
+                f"(shiftright(hv,{3 * c}) & 1)"
+                f" + shiftleft(shiftright(hv,{3 * c + 1}) & 1, 20)"
+                f" + shiftleft(shiftright(hv,{3 * c + 2}) & 1, 40)"
+            )
+        ).alias(f"p{c}")
+        for c in range(20)
     ]
     weights = (
         _shingles(spark, sf_dir)
         .withColumn("hv", hv)
         .groupBy("doc_id")
-        .agg(*bit_weights)
+        .agg(F.count(F.lit(1)).alias("n"), *packed)
     )
-    simhash = reduce(
-        add,
-        [
-            F.when(F.col(f"w{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b in range(60)
-        ],
+    # bit b set iff count_of_ones*2 > n (== the +-1 weight sum > 0)
+    simhash = F.expr(
+        """aggregate(sequence(0, 59), 0L, (acc, b) -> acc + if(
+             (shiftright(element_at(parr, cast(b / 3 as int) + 1),
+                         cast((b % 3) * 20 as int)) & 1048575) * 2 > n,
+             shiftleft(1L, b), 0L))"""
     )
-    sh = weights.select("doc_id", simhash.alias("s"))
+    sh = (
+        weights.withColumn("parr", F.array(*[F.col(f"p{c}") for c in range(20)]))
+        .select("doc_id", simhash.alias("s"))
+        .localCheckpoint(eager=False)
+    )
     band_arr = F.array(
         *[
             F.struct(
