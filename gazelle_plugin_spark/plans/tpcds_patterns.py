@@ -50,6 +50,17 @@ part/supplier/nation as in plans/ssb.py.
                      stats per brand
 - ds_yoy_ratio     <- resources/tpcds/q74.sql/q31.sql: per-entity
                      period aggregates self-joined, ratio threshold
+- ds_cum_fullouter <- resources/tpcds-v2.7.0/q51.sql: two per-channel
+                     monthly series FULL OUTER joined, cumulative
+                     window sums over the joined series compared
+- ds_channel_anti  <- resources/tpcds-v2.7.0/q78.sql: per-channel
+                     aggregates excluding returned lines (line-grain
+                     anti-join), cross-channel left join + ratio
+- ds_returns_adjust <- resources/tpcds/q93.sql: line-grain left join
+                     to returns, COALESCE-adjusted revenue re-agg
+- ds_time_bands    <- resources/tpcds/q88.sql: 8 banded counts; the
+                     oracle keeps q88's 8-scalar-subquery cross-join
+                     form, the Spark plan is ONE conditional-agg pass
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -1045,4 +1056,288 @@ def ds_returns_cov(spark, sf_dir):
         )
         .orderBy("p_brand")
         .limit(100)
+    )
+
+
+@query(
+    "ds_cum_fullouter",
+    oracle=f"""
+WITH base AS (
+  SELECT l_partkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo,
+         l_linestatus, {SQL_DISC_PRICE} AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_partkey <= 100
+),
+s AS (SELECT l_partkey, mo, SUM(rev) AS srev FROM base
+      WHERE l_linestatus = 'F' GROUP BY l_partkey, mo),
+w AS (SELECT l_partkey, mo, SUM(rev) AS wrev FROM base
+      WHERE l_linestatus = 'O' GROUP BY l_partkey, mo),
+j AS (
+  SELECT COALESCE(s.l_partkey, w.l_partkey) AS pk,
+         COALESCE(s.mo, w.mo) AS mo,
+         COALESCE(srev, 0) AS srev, COALESCE(wrev, 0) AS wrev
+  FROM s FULL OUTER JOIN w ON s.l_partkey = w.l_partkey AND s.mo = w.mo
+),
+c AS (
+  SELECT pk, mo,
+         SUM(srev) OVER (PARTITION BY pk ORDER BY mo
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         SUM(wrev) OVER (PARTITION BY pk ORDER BY mo
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM j
+)
+SELECT pk AS l_partkey, mo,
+       CAST(cs AS DOUBLE) AS cum_store, CAST(cw AS DOUBLE) AS cum_web
+FROM c WHERE cw > cs
+ORDER BY l_partkey, mo
+""",
+)
+def ds_cum_fullouter(spark, sf_dir):
+    """resources/tpcds-v2.7.0/q51.sql pattern: two per-channel monthly
+    revenue series FULL OUTER joined on (item, month), then cumulative
+    sums computed over the JOINED series and compared. The full outer
+    is essential — a month present in only one channel still advances
+    that channel's cumulative line (missing side coalesced to 0 BEFORE
+    the window).
+
+    Scale shape: each channel aggregates the fact down to (item,
+    month) partials FIRST — every exchange after the base scans moves
+    only per-(item, month) partial rows, never raw fact lines (the
+    window's pk-only re-exchange included). Cumulative sums stay in
+    exact decimal (float running sums are order-dependent); doubles
+    only at the output edge."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 100)
+    o = t(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey",
+        F.date_trunc("month", "o_orderdate").alias("mo"),
+        "l_linestatus",
+        disc_price().alias("rev"),
+    )
+    s = (
+        base.filter(F.col("l_linestatus") == "F")
+        .groupBy("l_partkey", "mo")
+        .agg(F.sum("rev").alias("srev"))
+    )
+    w = (
+        base.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_partkey", "mo")
+        .agg(F.sum("rev").alias("wrev"))
+    )
+    zero = F.lit(0).cast("decimal(22,2)")
+    j = (
+        s.alias("s")
+        .join(
+            w.alias("w"),
+            (F.col("s.l_partkey") == F.col("w.l_partkey"))
+            & (F.col("s.mo") == F.col("w.mo")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("s.l_partkey"), F.col("w.l_partkey")).alias("pk"),
+            F.coalesce(F.col("s.mo"), F.col("w.mo")).alias("mo"),
+            F.coalesce(F.col("srev"), zero).alias("srev"),
+            F.coalesce(F.col("wrev"), zero).alias("wrev"),
+        )
+    )
+    cum = (
+        Window.partitionBy("pk")
+        .orderBy("mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = j.select(
+        "pk",
+        "mo",
+        F.sum("srev").over(cum).alias("cs"),
+        F.sum("wrev").over(cum).alias("cw"),
+    )
+    return (
+        c.filter(F.col("cw") > F.col("cs"))
+        .select(
+            F.col("pk").alias("l_partkey"),
+            "mo",
+            F.col("cs").cast("double").alias("cum_store"),
+            F.col("cw").cast("double").alias("cum_web"),
+        )
+        .orderBy("l_partkey", "mo")
+    )
+
+
+@query(
+    "ds_channel_anti",
+    oracle="""
+WITH r AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+),
+base AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+         CAST(year(o_orderdate) AS INT) AS d_year, o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ss AS (
+  SELECT l_partkey, d_year, CAST(SUM(l_quantity) AS BIGINT) AS ss_qty
+  FROM base b
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND NOT EXISTS (SELECT 1 FROM r WHERE r.l_orderkey = b.l_orderkey
+                    AND r.l_linenumber = b.l_linenumber)
+  GROUP BY l_partkey, d_year
+),
+ws AS (
+  SELECT l_partkey, d_year, CAST(SUM(l_quantity) AS BIGINT) AS ws_qty
+  FROM base b
+  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    AND NOT EXISTS (SELECT 1 FROM r WHERE r.l_orderkey = b.l_orderkey
+                    AND r.l_linenumber = b.l_linenumber)
+  GROUP BY l_partkey, d_year
+)
+SELECT ss.l_partkey, ss.d_year, ss_qty, ws_qty,
+       ROUND(CAST(ss_qty AS DOUBLE) / ws_qty, 6) AS qty_ratio
+FROM ss LEFT JOIN ws ON ss.l_partkey = ws.l_partkey AND ss.d_year = ws.d_year
+WHERE ws_qty IS NOT NULL
+ORDER BY qty_ratio DESC, ss.l_partkey, ss.d_year
+LIMIT 100
+""",
+)
+def ds_channel_anti(spark, sf_dir):
+    """resources/tpcds-v2.7.0/q78.sql pattern: per-channel yearly item
+    sales EXCLUDING returned lines (anti-join each channel's fact
+    slice against the returns table at line grain), then a cross-
+    channel LEFT JOIN with a null filter and a quantity ratio.
+
+    Scale shape mirrors q78: the returns side carries only line keys
+    into the anti-join (never measure columns), each channel reduces
+    to (item, year) partials before the cross-channel join, and both
+    channel aggregates and the final join share the item-key
+    partitioning. The ratio is one double division rounded to 6."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber"
+    )
+    store_pri = ("1-URGENT", "2-HIGH")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.year("o_orderdate").alias("d_year"),
+        "o_orderpriority",
+    )
+
+    def channel(pred):
+        return (
+            base.filter(pred)
+            .join(r, ["l_orderkey", "l_linenumber"], "left_anti")
+            .groupBy("l_partkey", "d_year")
+        )
+
+    ss = channel(F.col("o_orderpriority").isin(*store_pri)).agg(
+        F.sum("l_quantity").cast("long").alias("ss_qty")
+    )
+    ws = channel(~F.col("o_orderpriority").isin(*store_pri)).agg(
+        F.sum("l_quantity").cast("long").alias("ws_qty")
+    )
+    out = ss.join(ws, ["l_partkey", "d_year"], "left").filter(
+        F.col("ws_qty").isNotNull()
+    )
+    ratio = F.round(F.col("ss_qty").cast("double") / F.col("ws_qty"), 6)
+    return (
+        out.select(
+            "l_partkey", "d_year", "ss_qty", "ws_qty", ratio.alias("qty_ratio")
+        )
+        .orderBy(F.desc("qty_ratio"), "l_partkey", "d_year")
+        .limit(100)
+    )
+
+
+@query(
+    "ds_returns_adjust",
+    oracle="""
+WITH r AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(0.5 AS DECIMAL(3,2)) AS refund_amt
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT l_suppkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                - COALESCE(refund_amt, 0)) AS DOUBLE) AS adj_rev,
+       CAST(SUM(CASE WHEN refund_amt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned
+FROM lineitem l
+LEFT JOIN r ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber
+GROUP BY l_suppkey
+ORDER BY adj_rev, l_suppkey
+LIMIT 100
+""",
+)
+def ds_returns_adjust(spark, sf_dir):
+    """resources/tpcds/q93.sql pattern: line-grain LEFT JOIN of the
+    sales fact to the returns table, COALESCE-adjusted revenue
+    (refunds credit 50% of the line), re-aggregated per supplier,
+    bottom-100 suppliers by adjusted revenue.
+
+    Scale shape mirrors q93: the join is at (order, line) grain — both
+    sides shuffle on the same composite key, the returns side carries
+    only the key + one decimal — and the adjustment arithmetic stays
+    in exact decimal through the SUM (a double sum across partitions
+    is order-dependent); doubles only at the output edge."""
+    li = t(spark, sf_dir, "lineitem")
+    refund = (
+        dec("l_extendedprice") * F.lit(0.5).cast("decimal(3,2)")
+    ).alias("refund_amt")
+    r = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", refund
+    )
+    joined = li.join(r, ["l_orderkey", "l_linenumber"], "left")
+    adj = dec("l_extendedprice") - F.coalesce(
+        F.col("refund_amt"), F.lit(0).cast("decimal(16,4)")
+    )
+    return (
+        joined.groupBy("l_suppkey")
+        .agg(
+            F.sum(adj).cast("double").alias("adj_rev"),
+            F.sum(
+                F.when(F.col("refund_amt").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_returned"),
+        )
+        .orderBy("adj_rev", "l_suppkey")
+        .limit(100)
+    )
+
+
+#: q88's 8 time-band tests, adapted to quantity bands (the schema has
+#: no time-of-day column): band k = quantity in [1+6k, 7+6k), plus
+#: q88's extra store-condition analog (non-returned lines only).
+_BAND_CONDS = [
+    f"l_quantity >= {1 + 6 * k} AND l_quantity < {7 + 6 * k}"
+    f" AND l_returnflag <> 'R'"
+    for k in range(8)
+]
+
+@query(
+    "ds_time_bands",
+    oracle=f"""
+SELECT {", ".join(f"t{k}.b{k}" for k in range(8))}
+FROM {", ".join(
+    f"(SELECT CAST(COUNT(*) AS BIGINT) AS b{k} FROM lineitem WHERE {c}) t{k}"
+    for k, c in enumerate(_BAND_CONDS)
+)}
+""",
+)
+def ds_time_bands(spark, sf_dir):
+    """resources/tpcds/q88.sql pattern: eight independent banded
+    counts of the fact presented as one row. The reference (and the
+    oracle SQL here, deliberately) writes it as 8 scalar subqueries
+    CROSS JOINed — 8 separate scans. The Spark plan re-expresses it
+    as ONE pass with 8 conditional counters (map-side combined), an
+    8x scan reduction the oracle's literal-q88 form proves
+    equivalent. At 100 TB this is the difference between one and
+    eight reads of the fact table."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.sum(F.when(F.expr(c), 1).otherwise(0)).cast("long").alias(f"b{k}")
+            for k, c in enumerate(_BAND_CONDS)
+        ]
     )
