@@ -65,67 +65,65 @@ def load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # text dedup / fingerprints (LLM pipeline; stats rows rotated out r05)
-    "doc_exact_dedup",
-    "doc_minhash_neardup",
-    "doc_ngram_jaccard",
-    "doc_simhash_neardup",
-    "doc_winnow_fingerprint",
-    # embedding similarity / ANN
-    "emb_lsh_topk",
-    "emb_neardup_pairs",
-    "emb_ivf_search",
-    # windows / sessions / temporal joins / JSON — broken by the r04
-    # testdata drift, fixed r05, ALL kept in-window to re-prove
-    "events_sessionize",
-    "events_json_stats",
-    "events_json_edges",
-    "events_user_topk",
-    "events_lag_lead",
-    "events_running_total",
-    "events_asof_join",
-    "events_range_join",
-    "events_funnel",
-    # + the 4 events rows never driver-verified (rotated in r05)
-    "events_frames",
-    "events_hourly",
-    "events_ntile",
-    "events_time_parts",
-    # set-ops / join variants / aggregate sweep
-    "rel_intersect_all",
-    "rel_except_all",
-    "rel_not_in_nullable",
-    "rel_exists_flag",
-    "rel_smj",
-    "rel_shj",
-    "rel_full_outer",
-    "rel_percentile",
-    "rel_agg_stats",
-    # + rotated in r05 (never driver-verified)
-    "rel_salted_join",
-    "rel_approx_agg",
-    # scalar expression sweeps
-    "expr_string",
-    "expr_datetime",
-    "expr_math",
-    "expr_conditional",
-    "expr_hash",
-    "expr_nested",
-    # + rotated in r05 (never driver-verified)
-    "expr_misc",
+    # round-6 rotation, per the round-5 verdict item 1: the 13 queries
+    # that had never had a driver-side CORRECTNESS row (all were green
+    # under the identical local oracle compare) rotate IN; rows green
+    # in >=1 prior round rotate out to the local gate.
+    "doc_contamination",
+    "doc_curation_pipeline",
+    "doc_neardup_components",
+    "doc_repetition",
+    "doc_train_split",
+    "ds_moving_rank",
+    "ds_returns_cov",
+    "emb_quantize",
+    "events_cohort_retention",
+    "events_zscore",
+    "rel_pivot",
+    "rel_semi_anti",
+    "rel_unpivot",
+    # changed or added in round 6 — in-window to (re-)prove:
+    "q2",                  # plan fix: part filter ahead of the window
+    "doc_simhash_neardup", # packed-lane agg + fingerprint checkpoint
+    "expr_datetime",       # + timestamp_seconds/millis/micros/make_timestamp
+    "rel_approx_agg",      # upgraded rows-only -> hash oracle
+    "mm_byte_features",    # upgraded rows-only -> hash oracle
+    "ds_cum_fullouter",    # new: q51 cumulative full-outer
+    "ds_channel_anti",     # new: q78 channel anti chain
+    "ds_returns_adjust",   # new: q93 returns correction
+    "ds_time_bands",       # new: q88 banded counts
+    # the one legitimately oracle-less entry (Spark-native hash
+    # values); driver records its rows-only check
     "expr_hash_native",
-    # multimodal plumbing
-    "mm_blob_stats",
-    "mm_frame_sample",
-    "mm_byte_features",
-    # TPC-DS multi-block subquery shapes
-    "ds_intersect_yoy",
-    "ds_union_agg",
-    "ds_double_exists",
-    # + rotated in r05 (never driver-verified)
-    "ds_except_churn",
-    "ds_rollup_rank",
-    "ds_yoy_ratio",
+    # SSB flight — green once (r03); now also in the default bench set
+    "ssb1_1",
+    "ssb1_2",
+    "ssb1_3",
+    "ssb2_1",
+    "ssb2_2",
+    "ssb2_3",
+    "ssb3_1",
+    "ssb3_2",
+    "ssb3_3",
+    "ssb3_4",
+    "ssb4_1",
+    "ssb4_2",
+    "ssb4_3",
+    # TPC-DS patterns green exactly once — a second driver round
+    "ds_brand_month",
+    "ds_class_share",
+    "ds_dow_pivot",
+    "ds_exists_disjunction",
+    "ds_freq_buyers",
+    "ds_rev_fraction",
+    "ds_rollup_star",
+    "ds_ss_max",
+    "ds_trip_mismatch",
+    "ds_week_compare",
+    "ds_window_dev",
+    # grouping-set family, green exactly once
+    "rel_cube",
+    "rel_grouping_sets",
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity
