@@ -109,21 +109,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ssb4_1",
     "ssb4_2",
     "ssb4_3",
+    # NEW in round 6, never driver-verified — these take the slots of
+    # eight green-once ds_*/rel_* rows (rotation policy: never-verified
+    # rows outrank second-confirmation rows)
+    "ds_return_outliers",
+    "ds_bestcust_freqitem",
+    "ds_ship_ratio_band",
+    "ds_month_flag_pivot",
+    "doc_quota_sample",
+    "doc_tfidf_topterms",
+    "doc_word_pmi",
+    "emb_kmeans",
     # TPC-DS patterns green exactly once — a second driver round
-    "ds_brand_month",
-    "ds_class_share",
-    "ds_dow_pivot",
     "ds_exists_disjunction",
-    "ds_freq_buyers",
-    "ds_rev_fraction",
     "ds_rollup_star",
-    "ds_ss_max",
-    "ds_trip_mismatch",
     "ds_week_compare",
     "ds_window_dev",
     # grouping-set family, green exactly once
     "rel_cube",
-    "rel_grouping_sets",
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity

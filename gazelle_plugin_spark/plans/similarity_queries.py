@@ -540,3 +540,128 @@ def emb_quantize(spark, sf_dir):
         F.array_max(F.transform("q", F.abs)).cast("int").alias("q_max"),
         F.round(sq_err, 9).alias("sq_err"),
     ).orderBy("vec_id")
+
+
+#: K-means: cluster count and the decimal scale used for exact
+#: cross-engine distance accumulation.
+KM_K = 4
+
+
+def _km_dist2(e: str, ce: str) -> Column:
+    """Squared L2 distance with ORDER-FREE exact accumulation: each
+    per-dimension squared difference is rounded to 8dp and summed as
+    decimal, so Spark's sequential array fold and DuckDB's unordered
+    GROUP BY SUM reach bit-identical totals."""
+    prods = F.zip_with(
+        e,
+        ce,
+        lambda x, y: F.round((x - y) * (x - y), 8).cast("decimal(20,8)"),
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(28,8)"),
+        lambda acc, v: (acc + v).cast("decimal(28,8)"),
+    )
+
+
+@query(
+    "emb_kmeans",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+dims AS (
+  SELECT vec_id, g.i AS pos, embedding[g.i]::DOUBLE AS x
+  FROM e, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+init AS (SELECT vec_id AS cl, pos, x AS c FROM dims WHERE vec_id < {KM_K}),
+d0 AS (
+  SELECT dims.vec_id, init.cl,
+         SUM(CAST(ROUND((dims.x - init.c) * (dims.x - init.c), 8)
+                  AS DECIMAL(20,8))) AS d2
+  FROM dims JOIN init ON dims.pos = init.pos
+  GROUP BY dims.vec_id, init.cl
+),
+a0 AS (
+  SELECT vec_id, cl FROM (
+    SELECT vec_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+    FROM d0
+  ) WHERE rk = 1
+),
+cent1 AS (
+  SELECT a0.cl, dims.pos, ROUND(AVG(dims.x), 6) AS c
+  FROM a0 JOIN dims ON a0.vec_id = dims.vec_id
+  GROUP BY a0.cl, dims.pos
+),
+d1 AS (
+  SELECT dims.vec_id, cent1.cl,
+         SUM(CAST(ROUND((dims.x - cent1.c) * (dims.x - cent1.c), 8)
+                  AS DECIMAL(20,8))) AS d2
+  FROM dims JOIN cent1 ON dims.pos = cent1.pos
+  GROUP BY dims.vec_id, cent1.cl
+),
+a1 AS (
+  SELECT vec_id, cl, d2 FROM (
+    SELECT vec_id, cl, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+    FROM d1
+  ) WHERE rk = 1
+)
+SELECT cl, CAST(COUNT(*) AS BIGINT) AS n_points, CAST(SUM(d2) AS DOUBLE) AS inertia
+FROM a1 GROUP BY cl ORDER BY cl
+""",
+)
+def emb_kmeans(spark, sf_dir):
+    """K-means over the embedding corpus: deterministic init (the
+    {K} lowest vec_ids), one full Lloyd round (assign -> recompute
+    centroids -> reassign), reporting per-cluster size and exact
+    inertia. The ITERATIVE-algorithm pattern on DataFrames (same
+    family as the connected-components operator, operators/graph.py):
+    each round is assign (corpus x broadcast-k centroids, argmin via a
+    WindowGroupLimit rank over k rows per point) + update (posexplode
+    to (cluster, dim) grain, map-side-combinable AVG, fold back to
+    arrays). The oracle UNROLLS the loop as chained CTEs over a
+    long-form (vec_id, pos, x) relation — exact-decimal distance
+    accumulation (see :func:`_km_dist2`) makes the array-fold and the
+    relational-SUM formulations bit-identical, so engine and oracle
+    agree despite computing in different shapes.
+
+    Scale shape: per round, the corpus streams ONCE against broadcast
+    centroids (no shuffle for assignment); the update shuffles only
+    (k x dims) partial sums. A production run adds rounds (driver
+    loop, localCheckpoint every few rounds like connected_components)
+    and k-means|| init; the per-round dataflow is exactly this."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    init = v.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cl"), F.col("e").alias("ce")
+    )
+
+    def assign(cent):
+        w = Window.partitionBy("vec_id").orderBy("d2", "cl")
+        return (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("d2", _km_dist2("e", "ce"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cl", "e", "d2")
+        )
+
+    a0 = assign(init)
+    cent1 = (
+        a0.select("cl", F.posexplode("e").alias("pos", "x"))
+        .groupBy("cl", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("cl")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cl", F.expr("transform(pc, p -> p.c)").alias("ce"))
+    )
+    a1 = assign(cent1)
+    return (
+        a1.groupBy("cl")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("d2").cast("double").alias("inertia"),
+        )
+        .orderBy("cl")
+    )

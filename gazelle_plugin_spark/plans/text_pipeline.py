@@ -1048,3 +1048,213 @@ def doc_contamination(spark, sf_dir):
         )
         .orderBy(F.desc("contamination"), "doc_id")
     )
+
+
+#: Language-stratified sampling quota (docs kept per language).
+QUOTA_PER_LANG = 50
+
+
+@query(
+    "doc_quota_sample",
+    oracle=f"""
+SELECT lang, rk, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {sql_md5h60("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS INT) AS rk
+  FROM documents
+) WHERE rk <= {QUOTA_PER_LANG}
+ORDER BY lang, rk
+""",
+)
+def doc_quota_sample(spark, sf_dir):
+    """Language-stratified QUOTA sampling: cap every language at
+    {QUOTA} docs, membership decided by a pure hash of the key
+    (md5h60 order, doc_id tie-break) — the deterministic counterpart
+    of `df.sampleBy(fractions)`, whose Bernoulli draws neither hit the
+    quota exactly nor survive a re-run. Like [[doc_train_split]], the
+    selection is recomputable anywhere: no membership table ships
+    with the dataset.
+
+    Scale shape: rank <= K over a per-lang window plans as
+    WindowGroupLimit (Spark >= 3.5, the reference's
+    LocalWindowExec/rank-limit rewrite — OptimizerOverrides.scala:
+    39-218): each map task keeps only its local top-K per language
+    BEFORE the shuffle, so the exchange carries O(K x langs x tasks)
+    rows, not the corpus. Low language cardinality therefore does NOT
+    skew the shuffle the way a naive full-window would."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        md5h60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QUOTA_PER_LANG)
+        .select("lang", "rk", "doc_id", "n_chars")
+        .orderBy("lang", "rk")
+    )
+
+
+#: TF-IDF: top terms kept per document / minimum PMI pair support.
+TFIDF_TOP_K = 3
+PMI_MIN_COUNT = 25
+PMI_TOP_K = 20
+
+
+@query(
+    "doc_tfidf_topterms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, tok.term AS term
+  FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS tok(term)
+  WHERE tok.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC,
+                    tf.term
+         ) AS INT) AS rnk
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+) WHERE rnk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rnk
+""",
+)
+def doc_tfidf_topterms(spark, sf_dir):
+    """TF-IDF top-{K} terms per document — the classic
+    distinctive-vocabulary signal (keyword extraction, topic drift
+    monitoring) over the corpus. Three combinable aggregates: TF at
+    (doc, term) grain, DF at term grain (computed FROM the TF
+    relation — one derivation, not a second corpus pass), corpus size
+    as a 1-row broadcast. Rank key is the ROUNDED score with a term
+    tie-break, so both engines rank identical doubles (tf and df are
+    exact ints; N/df is one IEEE division).
+
+    Scale shape: the tf<->df join keys on term — stopword-hot keys are
+    exactly what AQE skew-join splits; when the vocabulary is bounded
+    (it usually is) the df side is broadcastable outright. The per-doc
+    rank is WindowGroupLimit-pruned like [[doc_quota_sample]]. Output
+    columns expose tf/df (exact ints), not the float score."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@query(
+    "doc_word_pmi",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bigrams AS (
+  SELECT w[g.i] AS w1, w[g.i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+  GROUP BY w[g.i], w[g.i + 1]
+),
+uni AS (
+  SELECT u.word AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, UNNEST(w) AS u(word) GROUP BY u.word
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bigrams) AS t_bi,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS t_uni
+)
+SELECT w1, w2, c_xy, pmi FROM (
+  SELECT b.w1, b.w2, b.c_xy,
+         ROUND(ln((CAST(b.c_xy AS DOUBLE) / t.t_bi)
+                  / ((CAST(u1.c AS DOUBLE) / t.t_uni)
+                     * (CAST(u2.c AS DOUBLE) / t.t_uni))), 4) AS pmi
+  FROM bigrams b
+  JOIN uni u1 ON b.w1 = u1.word
+  JOIN uni u2 ON b.w2 = u2.word
+  CROSS JOIN tot t
+  WHERE b.c_xy >= {PMI_MIN_COUNT}
+)
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP_K}
+""",
+)
+def doc_word_pmi(spark, sf_dir):
+    """Top-{K} word-pair collocations by pointwise mutual information
+    over consecutive-token bigrams — the standard phrase-mining /
+    tokenizer-merge-candidate signal. Bigrams come from an in-row
+    ``transform(sequence(...))`` over the token array (zero joins to
+    FORM pairs — the corpus is never self-joined), then three
+    combinable counts: bigram grain, unigram grain, and two 1-row
+    totals. PMI inputs are exact integers, so both engines divide and
+    ln() identical doubles, rounded to 4dp.
+
+    Scale shape: one (w1, w2) shuffle for the bigram count; the two
+    unigram joins key on single words — vocabulary-bounded, so the
+    unigram side broadcasts; min-support (c_xy >= {MIN}) prunes the
+    long tail BEFORE the joins; global top-K is TakeOrderedAndProject
+    (per-partition heads, no global sort)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = bigrams.agg(F.sum("c_xy").alias("t_bi")).crossJoin(
+        uni.agg(F.sum("c").alias("t_uni"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") / F.col("t_bi"))
+            / (
+                (F.col("c1").cast("double") / F.col("t_uni"))
+                * (F.col("c2").cast("double") / F.col("t_uni"))
+            )
+        ),
+        4,
+    )
+    return (
+        bigrams.filter(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )

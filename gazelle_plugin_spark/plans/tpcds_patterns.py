@@ -61,6 +61,22 @@ part/supplier/nation as in plans/ssb.py.
 - ds_time_bands    <- resources/tpcds/q88.sql: 8 banded counts; the
                      oracle keeps q88's 8-scalar-subquery cross-join
                      form, the Spark plan is ONE conditional-agg pass
+- ds_return_outliers <- resources/tpcds/q1.sql: per-entity aggregate
+                     compared against 1.2x the average of that
+                     aggregate within the entity's group (q1's
+                     correlated scalar subquery over a pre-aggregate,
+                     re-expressed as one window pass)
+- ds_bestcust_freqitem <- resources/tpcds/q23a.sql: two derived
+                     filter sets (frequent items, best customers)
+                     narrow the fact via broadcast semi-joins
+- ds_ship_ratio_band <- resources/tpcds/q21.sql: before/after
+                     conditional quantity sums per part, HAVING the
+                     ratio inside [2/3, 3/2] — compared by exact
+                     decimal cross-multiplication, no float boundary
+- ds_month_flag_pivot <- resources/tpcds/q66.sql: two branch
+                     aggregates (linestatus = warehouse analog), each
+                     a 12-column monthly conditional pivot, UNION ALL
+                     + re-aggregate into the final wide row
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -1340,4 +1356,266 @@ def ds_time_bands(spark, sf_dir):
             F.sum(F.when(F.expr(c), 1).otherwise(0)).cast("long").alias(f"b{k}")
             for k, c in enumerate(_BAND_CONDS)
         ]
+    )
+
+
+@query(
+    "ds_return_outliers",
+    oracle=f"""
+WITH ctr AS (
+  SELECT o_custkey, {sql_dsum(SQL_DISC_PRICE)} AS ret_rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, ret_rev, ratio FROM (
+  SELECT c_custkey, c_name, ret_rev,
+         ROUND(ret_rev / (CAST(SUM(CAST(ret_rev AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                          / COUNT(*) OVER w), 6) AS ratio
+  FROM ctr JOIN customer ON o_custkey = c_custkey
+  WINDOW w AS (PARTITION BY c_nationkey)
+)
+WHERE ratio > 1.2
+ORDER BY c_custkey
+""",
+)
+def ds_return_outliers(spark, sf_dir):
+    """resources/tpcds/q1.sql pattern (store_returns outliers): the
+    per-customer returned-revenue aggregate filtered against 1.2x the
+    AVERAGE of that same aggregate across the customer's nation. q1
+    writes the threshold as a correlated scalar subquery that re-scans
+    the pre-aggregate per row; Catalyst would de-correlate it into an
+    aggregate + join — here it is expressed directly as one window
+    pass over the pre-aggregate (grain: customers, tiny vs the fact).
+    The returnflag filter pushes to the fact scan, so at 100 TB only
+    returned lines are shuffled; the window mean goes through exact
+    decimals so both engines divide identical doubles."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    ctr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(disc_price()).cast("double").alias("ret_rev"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    mean = (
+        F.sum(F.col("ret_rev").cast("decimal(18,4)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        ctr.join(c, ctr.o_custkey == c.c_custkey)
+        .withColumn("ratio", F.round(F.col("ret_rev") / mean, 6))
+        .filter(F.col("ratio") > 1.2)
+        .select("c_custkey", "c_name", "ret_rev", "ratio")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "ds_bestcust_freqitem",
+    oracle=f"""
+WITH freq AS (
+  SELECT l_partkey FROM lineitem
+  GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 40
+),
+best AS (
+  SELECT o_custkey FROM (
+    SELECT o_custkey,
+           ROW_NUMBER() OVER (ORDER BY SUM(CAST(o_totalprice AS DECIMAL(14,2))) DESC,
+                              o_custkey) AS rk
+    FROM orders GROUP BY o_custkey
+  ) WHERE rk <= 20
+)
+SELECT c_custkey, c_name, {sql_dsum(SQL_DISC_PRICE)} AS freq_rev
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_partkey IN (SELECT l_partkey FROM freq)
+  AND o_custkey IN (SELECT o_custkey FROM best)
+GROUP BY c_custkey, c_name
+ORDER BY c_custkey
+""",
+)
+def ds_bestcust_freqitem(spark, sf_dir):
+    """resources/tpcds/q23a.sql pattern: revenue from FREQUENT items
+    bought by the BEST customers. Two independently derived filter
+    sets — items appearing in >= 40 distinct orders, and the top-20
+    customers by lifetime spend (q23's top-5%-by-percentile becomes a
+    deterministic rank cutoff; same plan shape, no float threshold) —
+    then the fact is narrowed by BOTH via semi-joins before the final
+    per-customer aggregate. Scale shape: both derived sets are
+    aggregate-narrowed and broadcast, so the 100 TB fact is never
+    shuffled for the membership tests; the global top-20 rank runs on
+    the per-customer pre-aggregate (one row per customer), not the
+    fact."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("cnt"))
+        .filter(F.col("cnt") >= 40)
+        .select("l_partkey")
+    )
+    w = Window.orderBy(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).desc(), F.col("o_custkey")
+    )
+    best = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("spend"), F.col("o_custkey"))),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("o_custkey")
+    )
+    return (
+        li.join(F.broadcast(freq), "l_partkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(best.withColumnRenamed("o_custkey", "bc")),
+              F.col("o_custkey") == F.col("bc"), "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(disc_price()).cast("double").alias("freq_rev"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "ds_ship_ratio_band",
+    oracle="""
+SELECT l_partkey, p_brand,
+       CAST(bef AS DOUBLE) AS bef_qty, CAST(aft AS DOUBLE) AS aft_qty
+FROM (
+  SELECT l_partkey,
+         SUM(CASE WHEN l_shipdate <  TIMESTAMP '1998-06-01' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS bef,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01' THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS aft
+  FROM lineitem GROUP BY l_partkey
+) JOIN part ON l_partkey = p_partkey
+WHERE p_retailprice >= 990
+  AND 2 * aft <= 3 * bef AND 2 * bef <= 3 * aft
+ORDER BY l_partkey
+""",
+)
+def ds_ship_ratio_band(spark, sf_dir):
+    """resources/tpcds/q21.sql pattern (inventory before/after a
+    date): per-part shipped quantity split at a pivot date, keeping
+    parts whose before/after ratio lies in [2/3, 3/2]. The band test
+    is exact decimal cross-multiplication (2*aft <= 3*bef etc.), so
+    no float division ever decides membership — q21's
+    'between 2.0/3.0 and 3.0/2.0' on doubles is a boundary-flip
+    hazard this form removes. One conditional-sum pass over the fact
+    (map-side combinable), dim filter joined after the aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_retailprice") >= 990)
+    zero = F.lit(0).cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.when(F.col("l_shipdate") < "1998-06-01", qty).otherwise(zero)
+        ).alias("bef"),
+        F.sum(
+            F.when(F.col("l_shipdate") >= "1998-06-01", qty).otherwise(zero)
+        ).alias("aft"),
+    )
+    return (
+        agg.join(F.broadcast(p), agg.l_partkey == p.p_partkey)
+        .filter(
+            (2 * F.col("aft") <= 3 * F.col("bef"))
+            & (2 * F.col("bef") <= 3 * F.col("aft"))
+        )
+        .select(
+            "l_partkey",
+            "p_brand",
+            F.col("bef").cast("double").alias("bef_qty"),
+            F.col("aft").cast("double").alias("aft_qty"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+_MONTH_COLS = [f"m{m:02d}" for m in range(1, 13)]
+
+
+@query(
+    "ds_month_flag_pivot",
+    oracle=f"""
+WITH branches AS (
+  SELECT n_name, CAST(year(l_shipdate) AS INT) AS d_year,
+         {", ".join(
+            f"SUM(CASE WHEN month(l_shipdate) = {m} THEN CAST({SQL_DISC_PRICE} AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS m{m:02d}"
+            for m in range(1, 13)
+         )}
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE l_linestatus = 'O'
+  GROUP BY n_name, year(l_shipdate)
+  UNION ALL
+  SELECT n_name, CAST(year(l_shipdate) AS INT) AS d_year,
+         {", ".join(
+            f"SUM(CASE WHEN month(l_shipdate) = {m} THEN CAST({SQL_DISC_PRICE} AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS m{m:02d}"
+            for m in range(1, 13)
+         )}
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE l_linestatus = 'F'
+  GROUP BY n_name, year(l_shipdate)
+)
+SELECT n_name, d_year,
+       {", ".join(f"CAST(SUM(m{m:02d}) AS DOUBLE) AS m{m:02d}" for m in range(1, 13))}
+FROM branches
+GROUP BY n_name, d_year
+ORDER BY n_name, d_year
+""",
+)
+def ds_month_flag_pivot(spark, sf_dir):
+    """resources/tpcds/q66.sql pattern: two per-'warehouse' branch
+    aggregates (linestatus plays the warehouse role on this schema),
+    each pivoting a year of revenue into 12 monthly columns via
+    conditional sums, UNION ALL'd and re-aggregated into one wide row
+    per (nation, year). The oracle keeps q66's literal
+    two-branch-union form (two fact scans); the Spark plan keeps the
+    branches too — proving the union-reagg shape — but each branch's
+    filter pushes to its scan and every monthly sum is map-side
+    combinable decimal addition, so the shuffled rows are
+    (nation x year) grain, 12 decimals wide, regardless of fact
+    size."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    zero = F.lit(0).cast("decimal(18,4)")
+
+    def branch(status):
+        li = t(spark, sf_dir, "lineitem").filter(F.col("l_linestatus") == status)
+        return (
+            li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("n_name", F.year("l_shipdate").alias("d_year"))
+            .agg(
+                *[
+                    F.sum(
+                        F.when(
+                            F.month("l_shipdate") == m,
+                            disc_price().cast("decimal(18,4)"),
+                        ).otherwise(zero)
+                    ).alias(f"m{m:02d}")
+                    for m in range(1, 13)
+                ]
+            )
+        )
+
+    return (
+        branch("O")
+        .unionAll(branch("F"))
+        .groupBy("n_name", "d_year")
+        .agg(
+            *[
+                F.sum(c).cast("double").alias(c)
+                for c in _MONTH_COLS
+            ]
+        )
+        .orderBy("n_name", "d_year")
     )

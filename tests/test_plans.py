@@ -31,6 +31,12 @@ BNLJ_ALLOWED = {
     "q11",
     "q22",
     "rel_not_in_nullable",
+    # 1-row corpus-size / totals aggregates broadcast against the
+    # term relations
+    "doc_tfidf_topterms",
+    "doc_word_pmi",
+    # k broadcast centroid rows joined to every point (argmin over k)
+    "emb_kmeans",
 }
 
 
