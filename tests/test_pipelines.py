@@ -4,6 +4,8 @@ baseline."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from gazelle_plugin_spark.plans import all_queries
 from tests.conftest import SF_MED
 
@@ -107,3 +109,58 @@ def test_shingle_spread_is_conditional(spark, tmp_path):
     spread = _maybe_spread(narrow)
     assert spread is not narrow
     assert spread.rdd.getNumPartitions() > 1  # probe OK in a TEST
+
+
+def test_quota_sample_caps_every_language(spark):
+    """Quota semantics: no language exceeds QUOTA_PER_LANG, languages
+    with fewer docs than the quota keep ALL docs, and two evaluations
+    pick the same rows (hash-determinism — the property Bernoulli
+    sampleBy lacks)."""
+    from gazelle_plugin_spark.plans.text_pipeline import QUOTA_PER_LANG
+
+    out = QUERIES["doc_quota_sample"](spark, SF_MED)
+    per_lang = {r["lang"]: r["n"] for r in
+                out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              spark.read.parquet(SF_MED + "/documents.parquet")
+              .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per_lang.items():
+        assert n == min(QUOTA_PER_LANG, totals[lang]), (lang, n, totals[lang])
+    a = {(r.lang, r.doc_id) for r in out.collect()}
+    b = {(r.lang, r.doc_id) for r in QUERIES["doc_quota_sample"](spark, SF_MED).collect()}
+    assert a == b
+
+
+def test_kmeans_update_round_improves_inertia(spark):
+    """Lloyd's guarantee: reassigning against the UPDATED centroids
+    cannot increase total inertia vs assigning against the naive
+    init. Evaluated via the registered query (post-update inertia)
+    against a re-derivation of the init-assignment inertia."""
+    from gazelle_plugin_spark.plans.similarity_queries import KM_K, _km_dist2
+
+    post = sum(
+        r["inertia"] for r in QUERIES["emb_kmeans"](spark, SF_MED).collect()
+    )
+    v = spark.read.parquet(SF_MED + "/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    init = v.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cl"), F.col("e").alias("ce")
+    )
+    pre = (
+        v.crossJoin(F.broadcast(init))
+        .withColumn("d2", _km_dist2("e", "ce"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("d2"))
+        .agg(F.sum("d2").cast("double").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert post <= pre + 1e-6, (post, pre)
+
+
+def test_tfidf_rank_prunes_with_window_group_limit(spark):
+    """The per-doc top-k rank must plan as WindowGroupLimit (local
+    top-k before the shuffle) — the reference's rank-limit rewrite
+    target (OptimizerOverrides.scala:39-218)."""
+    for name in ("doc_tfidf_topterms", "doc_quota_sample"):
+        assert "WindowGroupLimit" in _plan(spark, name), name
