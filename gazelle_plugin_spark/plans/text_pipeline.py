@@ -1258,3 +1258,78 @@ def doc_word_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOP_K)
     )
+
+
+#: Feature-hashing vectorizer dimensionality.
+HASH_EMBED_DIM = 64
+
+
+@query(
+    "doc_hash_embed",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, u.term AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents), UNNEST(w) AS u(term)
+),
+tfs AS (
+  SELECT doc_id,
+         ((({sql_md5h60("term")} % {HASH_EMBED_DIM}) + {HASH_EMBED_DIM}) % {HASH_EMBED_DIM}) AS slot,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, slot AS top_slot, tf AS top_tf FROM (
+    SELECT doc_id, slot, tf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, slot) AS rk
+    FROM tfs
+  ) WHERE rk = 1
+)
+SELECT tfs.doc_id, CAST(COUNT(*) AS BIGINT) AS nnz,
+       ROUND(sqrt(SUM(tf * tf)), 6) AS l2, top_slot, top_tf
+FROM tfs JOIN top ON tfs.doc_id = top.doc_id
+GROUP BY tfs.doc_id, top_slot, top_tf
+ORDER BY tfs.doc_id
+""",
+)
+def doc_hash_embed(spark, sf_dir):
+    """Hashing-trick text vectorizer (feature hashing a la
+    Weinberger'09): token -> slot = md5h60(token) mod {DIM}, slot
+    term-frequencies = the document's sparse embedding. Deterministic
+    and VOCABULARY-FREE — no fitted dictionary ships to executors, so
+    the featurization runs identically on any cluster fragment, the
+    property that matters when vectorizing 100 TB for the emb_*
+    family downstream. Output is the oracle-stable summary (nnz, L2
+    norm of exact integer counts, argmax slot with min-slot
+    tie-break); production materializes the dense array in-row via
+    ``transform(sequence(0, {DIM}-1), i -> coalesce(m[i], 0))`` over a
+    ``map_from_entries`` of the same (slot, tf) pairs — no extra
+    shuffle beyond the two combinable aggregates here.
+
+    The argmax needs no window: ``max(struct(tf, -slot))`` folds the
+    (max tf, min slot) tie-break into the same combinable aggregate
+    pass (the oracle's ROW_NUMBER formulation proves equivalence)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tfs = (
+        toks.select(
+            "doc_id", F.pmod(md5h60("term"), F.lit(HASH_EMBED_DIM)).alias("slot")
+        )
+        .groupBy("doc_id", "slot")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tfs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.round(F.sqrt(F.sum(F.col("tf") * F.col("tf"))), 6).alias("l2"),
+            F.max(F.struct(F.col("tf"), (-F.col("slot")).alias("ns"))).alias("top"),
+        )
+        .select(
+            "doc_id",
+            "nnz",
+            "l2",
+            (-F.col("top.ns")).alias("top_slot"),
+            F.col("top.tf").alias("top_tf"),
+        )
+        .orderBy("doc_id")
+    )
