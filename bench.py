@@ -85,6 +85,13 @@ def _run_queries(spark, names, queries, sf_dir):
     return timings, errors
 
 
+#: Identical JVM heap on BOTH sides — the comparison must not hinge on
+#: one side having more memory. 4g headroom stops the round-6 failure
+#: mode (vanilla worker OOM'd mid-run at default 1g, taking the
+#: remaining comparisons with it).
+DRIVER_MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "4g")
+
+
 def _engine_session(cpus: str):
     from gazelle_plugin_spark import get_spark
 
@@ -92,19 +99,22 @@ def _engine_session(cpus: str):
         app_name="gazelle-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        extra_confs={"spark.driver.memory": DRIVER_MEM},
     )
 
 
 def _vanilla_session(cpus: str):
     """Stock Spark: no engine confs, default shuffle partitions (200),
     default ANSI/broadcast/AQE settings — the BASELINE.md comparator.
-    (UTC timezone only, for result identity.)"""
+    (UTC timezone only, for result identity; same heap as the engine
+    side, see DRIVER_MEM.)"""
     from pyspark.sql import SparkSession
 
     return (
         SparkSession.builder.appName("vanilla-bench")
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", DRIVER_MEM)
         .getOrCreate()
     )
 
@@ -183,23 +193,41 @@ def main() -> None:
         # measured back-to-back per query
         import subprocess
 
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker"],
-            stdin=subprocess.PIPE,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-            text=True,
-            env=os.environ,
-        )
+        def spawn_worker():
+            p = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                env=os.environ,
+            )
+            # wait for the worker's session to be warm before timing
+            ready = json.loads(p.stdout.readline())
+            assert ready.get("ready"), f"worker failed to start: {ready}"
+            return p
+
+        def stop_worker(p):
+            try:
+                p.stdin.close()
+                p.wait(timeout=60)
+            except Exception:  # noqa: BLE001 - hung worker: kill
+                p.kill()
+
+        proc = spawn_worker()
         spark = _engine_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         _warm(spark, queries, sf_dir)
-        # wait for the worker's session to be warm before timing
-        ready = json.loads(proc.stdout.readline())
-        assert ready.get("ready"), f"worker failed to start: {ready}"
 
         timings, errors = {}, {}
         vtimings, verrors = {}, {}
+        # A worker-JVM death (OOM/segfault) must not erase accumulated
+        # timings OR the remaining comparisons: respawn a fresh worker
+        # (bounded — a query that kills two workers in a row is marked
+        # and skipped, and after MAX_RESPAWNS total the run finishes
+        # engine-only).
+        MAX_RESPAWNS = 3
+        respawns = 0
         worker_dead = False
         for name in names:
             try:
@@ -209,27 +237,35 @@ def main() -> None:
             if worker_dead:
                 verrors[name] = "worker died"
                 continue
-            # A worker-JVM death (OOM/segfault) must not erase the
-            # accumulated timings: record it and continue engine-only.
-            try:
-                proc.stdin.write(name + "\n")
-                proc.stdin.flush()
-                line = proc.stdout.readline()
-                ans = json.loads(line)
-            except (BrokenPipeError, OSError, json.JSONDecodeError) as exc:
-                worker_dead = True
-                verrors[name] = f"worker died: {type(exc).__name__}"
-                continue
-            if "sec" in ans:
-                vtimings[name] = ans["sec"]
-            else:
-                verrors[name] = ans["err"]
-        try:
-            proc.stdin.close()
-            proc.wait(timeout=60)
-        except Exception:  # noqa: BLE001 - hung worker: kill, keep results
-            proc.kill()
+            for attempt in (1, 2):
+                try:
+                    proc.stdin.write(name + "\n")
+                    proc.stdin.flush()
+                    ans = json.loads(proc.stdout.readline())
+                except (BrokenPipeError, OSError, json.JSONDecodeError) as exc:
+                    verrors[name] = f"worker died: {type(exc).__name__}"
+                    stop_worker(proc)
+                    if respawns >= MAX_RESPAWNS:
+                        worker_dead = True
+                        break
+                    respawns += 1
+                    try:
+                        proc = spawn_worker()
+                    except Exception:  # noqa: BLE001
+                        worker_dead = True
+                        break
+                    continue  # attempt 2 on the fresh worker
+                if "sec" in ans:
+                    vtimings[name] = ans["sec"]
+                    verrors.pop(name, None)
+                else:
+                    verrors[name] = ans["err"]
+                break
+        if not worker_dead:
+            stop_worker(proc)
         spark.stop()
+        if respawns:
+            result["worker_respawns"] = respawns
 
         # like-for-like totals: only queries BOTH sides completed
         both = [n for n in names if timings.get(n) and vtimings.get(n)]

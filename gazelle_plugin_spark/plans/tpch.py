@@ -860,34 +860,40 @@ LIMIT 100
 )
 def q21(spark, sf_dir):
     """Suppliers who kept orders waiting (tpch/q21.sql; receipt/commit
-    lateness re-targeted to shipdate > orderdate+30d). EXISTS +
-    correlated NOT EXISTS -> left-semi + left-anti with residual
-    conditions."""
-    supplier = t(spark, sf_dir, "supplier")
-    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
-    l1 = t(spark, sf_dir, "lineitem").alias("l1")
-    l2 = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    lateness re-targeted to shipdate > orderdate+30d).
 
-    late = F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-    base = (
-        l1.join(orders, F.col("l1.l_orderkey") == F.col("o_orderkey"))
-        .filter(late)
-        .join(supplier, F.col("l1.l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    The EXISTS + correlated NOT EXISTS pair is re-expressed as ONE
+    per-order supplier-stats aggregate: for lines of 'F' orders,
+    ``n_supp = COUNT(DISTINCT suppkey)`` and ``n_late =
+    COUNT(DISTINCT suppkey with a late line)``. A late line l1
+    satisfies q21 iff ``n_supp >= 2`` (another supplier exists) and
+    ``n_late = 1`` (l1's supplier is the ONLY late one — no OTHER
+    late supplier). The oracle keeps the literal EXISTS/NOT-EXISTS
+    form, proving equivalence. Scale shape: the literal form shuffles
+    the fact THREE times (l1 + semi probe + anti probe); this form
+    shuffles it once on l_orderkey and reuses that partitioning for
+    the stats aggregate AND the join-back (ReusedExchange), with the
+    semi/anti semantics folded into two integer filters."""
+    supplier = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    has_other = (F.col("l2.l_orderkey") == F.col("l1.l_orderkey")) & (
-        F.col("l2.l_suppkey") != F.col("l1.l_suppkey")
-    )
-    other_late = (
-        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
-        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
-        & (F.col("l3.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
     )
     return (
-        base.join(l2, has_other, "left_semi")
-        .join(l3, other_late, "left_anti")
+        lo.filter(late)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
