@@ -119,14 +119,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_quota_sample",
     "doc_tfidf_topterms",
     "doc_word_pmi",
+    "doc_hash_embed",
     "emb_kmeans",
     # TPC-DS patterns green exactly once — a second driver round
     "ds_exists_disjunction",
     "ds_rollup_star",
     "ds_week_compare",
     "ds_window_dev",
-    # grouping-set family, green exactly once
-    "rel_cube",
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity
