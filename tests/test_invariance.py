@@ -18,7 +18,20 @@ def _rows(df):
     return sorted((tuple(r) for r in df.collect()), key=str)
 
 
-@pytest.mark.parametrize("name", ["q5", "doc_minhash_neardup", "events_user_topk"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q5",
+        "doc_minhash_neardup",
+        "events_user_topk",
+        # round 6: hash-rank sampling and the k-means round — the avg
+        # in the centroid update is the one float reduction whose
+        # partial-sum ORDER varies with layout; the round-6dp
+        # discipline must absorb it at any width
+        "doc_quota_sample",
+        "emb_kmeans",
+    ],
+)
 def test_result_invariant_to_shuffle_width(spark, name):
     """Same rows at 3 vs 8+ shuffle partitions (map-side combines,
     window partitioning, and band joins must not leak layout)."""
