@@ -427,3 +427,60 @@ def expr_misc(spark, sf_dir):
         .alias("conv_dec"),
         F.col("c_mktsegment").rlike("^(AUTO|BUILD)").alias("rx"),
     ).orderBy("s_suppkey")
+
+
+@query(
+    "expr_map",
+    oracle="""
+WITH per_flag AS (
+  SELECT l_orderkey, l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem WHERE l_orderkey < 100
+  GROUP BY l_orderkey, l_returnflag
+)
+SELECT l_orderkey,
+       CAST(COUNT(*) AS INT) AS n_keys,
+       string_agg(flag, ',' ORDER BY flag) AS keys_csv,
+       COALESCE(MAX(CASE WHEN flag = 'R' THEN cnt END), 0) AS r_cnt,
+       MAX(CASE WHEN flag = 'A' THEN cnt * 2 END) AS a_doubled,
+       CAST(COUNT(*) FILTER (cnt > 5) AS INT) AS n_big,
+       CAST(SUM(cnt) AS BIGINT) AS total
+FROM per_flag
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+)
+def expr_map(spark, sf_dir):
+    """MAP-type expression sweep: map_from_entries / map_keys /
+    map_values / element_at / transform_values / map_filter /
+    higher-order aggregate over map values. Like ARRAY/STRUCT
+    (expr_nested), MAP is a reference weak spot — the operator type
+    matrix leaves it blank (docs/operators.md) and complex types sit
+    behind the experimental flag (GazellePluginConfig.scala:177-179);
+    all codegen'd built-ins here. The oracle never constructs a map:
+    it derives the SAME scalar outputs relationally from the
+    (orderkey, flag, cnt) grain, proving the map pipeline computes
+    the relation it claims. Map columns never leave the query —
+    outputs are ints/strings (cross-engine map rendering differs)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    per_flag = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    g = per_flag.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("l_returnflag", "cnt")))
+        ).alias("m")
+    )
+    m = F.col("m")
+    return g.select(
+        "l_orderkey",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.coalesce(F.element_at(m, F.lit("R")), F.lit(0)).alias("r_cnt"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: v * 2), F.lit("A")
+        ).alias("a_doubled"),
+        F.size(F.map_filter(m, lambda k, v: v > 5)).alias("n_big"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("total"),
+    ).orderBy("l_orderkey")
