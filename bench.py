@@ -159,10 +159,12 @@ def main() -> None:
 
     queries = all_queries()
     # TPC-H q1-q22 + SSB 1.1-4.3 (BASELINE.md's promised sets) + the
-    # LLM-pipeline representatives.
+    # TPC-DS patterns (the reference's Decision Support Benchmark2
+    # analog, README.md:37-39) + the LLM-pipeline representatives.
     default_names = (
         sorted(n for n in queries if n.startswith("q"))
         + sorted(n for n in queries if n.startswith("ssb"))
+        + sorted(n for n in queries if n.startswith("ds_"))
         + PIPELINE_BENCH
     )
     names = args or default_names
@@ -214,7 +216,16 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - hung worker: kill
                 p.kill()
 
-        proc = spawn_worker()
+        # A worker that cannot even start must not kill the run — the
+        # engine timings still print (with a vanilla_errors marker).
+        worker_dead = False
+        proc = None
+        try:
+            proc = spawn_worker()
+        except Exception:  # noqa: BLE001
+            worker_dead = True
+            if proc is not None:
+                proc.kill()
         spark = _engine_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         _warm(spark, queries, sf_dir)
@@ -228,7 +239,6 @@ def main() -> None:
         # engine-only).
         MAX_RESPAWNS = 3
         respawns = 0
-        worker_dead = False
         for name in names:
             try:
                 timings[name] = _time_one(spark, queries[name], sf_dir)
