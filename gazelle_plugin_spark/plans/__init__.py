@@ -121,11 +121,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_word_pmi",
     "doc_hash_embed",
     "emb_kmeans",
+    "expr_map",
     # TPC-DS patterns green exactly once — a second driver round
     "ds_exists_disjunction",
     "ds_rollup_star",
     "ds_week_compare",
-    "ds_window_dev",
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity
