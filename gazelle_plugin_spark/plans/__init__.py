@@ -122,10 +122,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_hash_embed",
     "emb_kmeans",
     "expr_map",
-    # TPC-DS patterns green exactly once — a second driver round
+    "ds_lochierarchy",  # new: q36 rank-within-rollup-level
+    "ds_dual_rank",     # new: q49 dual rank filter
+    # a TPC-DS pattern green exactly once — a second driver round
     "ds_exists_disjunction",
-    "ds_rollup_star",
-    "ds_week_compare",
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity

@@ -77,6 +77,13 @@ part/supplier/nation as in plans/ssb.py.
                      aggregates (linestatus = warehouse analog), each
                      a 12-column monthly conditional pivot, UNION ALL
                      + re-aggregate into the final wide row
+- ds_lochierarchy  <- resources/tpcds/q36.sql: rank WITHIN each
+                     rollup level — partition by
+                     grouping(a)+grouping(b) and the CASE-guarded
+                     parent key, computed inside the rollup agg
+- ds_dual_rank     <- resources/tpcds/q49.sql: two ranks over the
+                     same per-channel pre-aggregate, keep rows where
+                     EITHER rank <= 10 (one exchange, two sorts)
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -1618,4 +1625,174 @@ def ds_month_flag_pivot(spark, sf_dir):
             ]
         )
         .orderBy("n_name", "d_year")
+    )
+
+
+@query(
+    "ds_lochierarchy",
+    oracle=f"""
+WITH agg AS (
+  SELECT p_type, p_brand,
+         CAST(GROUPING(p_type) + GROUPING(p_brand) AS INT) AS lochierarchy,
+         CAST(GROUPING(p_brand) AS INT) AS g_brand,
+         SUM({SQL_DISC_PRICE}) AS rev_d,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_d
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY ROLLUP(p_type, p_brand)
+)
+SELECT p_type, p_brand, lochierarchy,
+       ROUND(CAST(rev_d AS DOUBLE) / CAST(qty_d AS DOUBLE), 6) AS unit_rev,
+       RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN g_brand = 0 THEN p_type END
+         ORDER BY ROUND(CAST(rev_d AS DOUBLE) / CAST(qty_d AS DOUBLE), 6) ASC
+       ) AS rank_within_parent
+FROM agg
+ORDER BY lochierarchy DESC, p_type NULLS FIRST, rank_within_parent,
+         p_brand NULLS FIRST
+""",
+)
+def ds_lochierarchy(spark, sf_dir):
+    """resources/tpcds/q36.sql pattern: rank WITHIN EACH ROLLUP LEVEL.
+
+    Unlike ds_rollup_rank (q67: rank partitioned by a real column),
+    q36 partitions the rank by the GROUPING LEVEL itself —
+    ``lochierarchy = grouping(a)+grouping(b)`` — plus the parent key
+    for leaf rows (``CASE WHEN grouping(b)=0 THEN a END``), so brand
+    rows rank within their mfgr, mfgr subtotals rank against each
+    other, and the grand total sits alone. grouping()/grouping_id()
+    must be computed inside the rollup aggregate (Catalyst resolves
+    them against the Expand node, reference analog
+    ColumnarExpandExec).
+
+    Scale shape: ONE broadcast join + one rollup aggregate (Expand
+    x3 then partial+final hash agg — the shuffle carries 3 rows per
+    (mfgr,brand) group, not 3x the fact); the rank window runs over
+    ~180 aggregate rows. Float discipline: unit_rev is a single
+    double division of exact decimal sums, rounded before ranking on
+    BOTH engines so rank ties cannot diverge.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .rollup("p_type", "p_brand")
+        .agg(
+            (F.grouping("p_type") + F.grouping("p_brand"))
+            .cast("int")
+            .alias("lochierarchy"),
+            F.grouping("p_brand").cast("int").alias("g_brand"),
+            F.sum(disc_price()).alias("rev_d"),
+            F.sum(dec("l_quantity")).alias("qty_d"),
+        )
+        .withColumn(
+            "unit_rev",
+            F.round(
+                F.col("rev_d").cast("double") / F.col("qty_d").cast("double"), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(
+        "lochierarchy", F.when(F.col("g_brand") == 0, F.col("p_type"))
+    ).orderBy(F.asc("unit_rev"))
+    return (
+        agg.withColumn("rank_within_parent", F.rank().over(w))
+        .select(
+            "p_type", "p_brand", "lochierarchy", "unit_rev",
+            "rank_within_parent",
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.asc_nulls_first("p_type"),
+            "rank_within_parent",
+            F.asc_nulls_first("p_brand"),
+        )
+    )
+
+
+@query(
+    "ds_dual_rank",
+    oracle=f"""
+WITH agg AS (
+  SELECT l_linestatus AS channel, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_d,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS rqty_d,
+         SUM({SQL_DISC_PRICE}) AS amt_d,
+         SUM(CASE WHEN l_returnflag = 'R'
+                  THEN {SQL_DISC_PRICE}
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS ramt_d
+  FROM lineitem
+  GROUP BY l_linestatus, l_partkey
+), rated AS (
+  SELECT channel, l_partkey,
+         ROUND(CAST(rqty_d AS DOUBLE) / CAST(qty_d AS DOUBLE), 6) AS return_ratio,
+         ROUND(CAST(ramt_d AS DOUBLE) / CAST(amt_d AS DOUBLE), 6) AS amt_ratio
+  FROM agg
+)
+SELECT channel, l_partkey, return_ratio, amt_ratio, qty_rank, amt_rank
+FROM (
+  SELECT rated.*,
+         RANK() OVER (PARTITION BY channel ORDER BY return_ratio DESC) AS qty_rank,
+         RANK() OVER (PARTITION BY channel ORDER BY amt_ratio DESC) AS amt_rank
+  FROM rated
+) r
+WHERE qty_rank <= 10 OR amt_rank <= 10
+ORDER BY channel, qty_rank, amt_rank, l_partkey
+""",
+)
+def ds_dual_rank(spark, sf_dir):
+    """resources/tpcds/q49.sql pattern: DUAL rank filter per channel.
+
+    Each channel ranks its items TWICE over the same pre-aggregate —
+    by return-quantity ratio and by returned-currency ratio — and
+    keeps rows where EITHER rank is in the top 10 (q49's
+    ``return_rank <= 10 or currency_rank <= 10``). The channel axis
+    maps to l_linestatus (as in ds_month_flag_pivot); "returned"
+    lines are l_returnflag = 'R'.
+
+    Scale shape: one (status, partkey) hash aggregate with
+    map-side-combinable conditional sums, then TWO window functions
+    over the SAME partition key — Catalyst plans one exchange and one
+    sort per ordering, never a second shuffle of the fact. Both
+    ratios are single double divisions of exact decimal sums, rounded
+    before ranking, so the DESC rank order (and every rank tie — a
+    group whose every line is returned pins return_ratio at exactly
+    1.0) is engine-identical.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    zero = F.lit("0").cast("decimal(12,2)")
+    ret = F.col("l_returnflag") == "R"
+    agg = (
+        li.groupBy(
+            F.col("l_linestatus").alias("channel"), F.col("l_partkey")
+        )
+        .agg(
+            F.sum(dec("l_quantity")).alias("qty_d"),
+            F.sum(F.when(ret, dec("l_quantity")).otherwise(zero)).alias("rqty_d"),
+            F.sum(disc_price()).alias("amt_d"),
+            F.sum(F.when(ret, disc_price()).otherwise(zero)).alias("ramt_d"),
+        )
+        .select(
+            "channel",
+            "l_partkey",
+            F.round(
+                F.col("rqty_d").cast("double") / F.col("qty_d").cast("double"), 6
+            ).alias("return_ratio"),
+            F.round(
+                F.col("ramt_d").cast("double") / F.col("amt_d").cast("double"), 6
+            ).alias("amt_ratio"),
+        )
+    )
+    by_channel = Window.partitionBy("channel")
+    return (
+        agg.withColumn(
+            "qty_rank", F.rank().over(by_channel.orderBy(F.desc("return_ratio")))
+        )
+        .withColumn(
+            "amt_rank", F.rank().over(by_channel.orderBy(F.desc("amt_ratio")))
+        )
+        .filter((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
+        .orderBy("channel", "qty_rank", "amt_rank", "l_partkey")
     )
