@@ -124,8 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "expr_map",
     "ds_lochierarchy",  # new: q36 rank-within-rollup-level
     "ds_dual_rank",     # new: q49 dual rank filter
-    # a TPC-DS pattern green exactly once — a second driver round
-    "ds_exists_disjunction",
+    "events_markov",    # new: transition-matrix sequence model
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity

@@ -703,3 +703,70 @@ def events_zscore(spark, sf_dir):
         .filter(F.abs(F.col("z")) > 2.5)
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_markov",
+    oracle=_EVENTS_CTE
+    + """
+, pairs AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev_type
+  FROM e
+), counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_trans,
+       ROUND(CAST(n_trans AS DOUBLE) /
+             CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS p_trans
+FROM counts
+ORDER BY prev_type, next_type
+""",
+)
+def events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | prev_type) with exact integer counts.
+
+    The sequence model behind session-based recommendation and
+    behavioral anomaly scoring. lag() pairs each event with its
+    predecessor inside the user's timeline (ties broken by event_id,
+    the same total order every events_* query uses), then the
+    transition matrix is a (prev, next) COUNT — map-side combinable —
+    and the row-normalizing SUM runs over the TINY aggregate
+    (|event_type|^2 rows), not the fact.
+
+    Scale shape (100 TB): one user_id shuffle for the lag window (the
+    same partitioning every events_* query reuses — a real deployment
+    pre-buckets by user_id and pays zero), one combinable aggregate
+    whose output is bounded by the type-vocabulary square, and a
+    window over that bounded aggregate. Probabilities are one double
+    division of exact BIGINT counts, rounded on both engines — no
+    float accumulation anywhere.
+    """
+    e = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.select("user_id", "ts_us", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n_trans"))
+    row_tot = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p_trans",
+            F.round(
+                F.col("n_trans").cast("double")
+                / F.sum("n_trans").over(row_tot).cast("double"),
+                6,
+            ),
+        )
+        .select("prev_type", "next_type", "n_trans", "p_trans")
+        .orderBy("prev_type", "next_type")
+    )
