@@ -95,13 +95,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # the one legitimately oracle-less entry (Spark-native hash
     # values); driver records its rows-only check
     "expr_hash_native",
-    # SSB flight — green once (r03); now also in the default bench set
+    # SSB flight — green once (r03); now also in the default bench
+    # set. ssb1_2/1_3/2_2/2_3 rotated out late in round 6 (policy:
+    # never-verified rows outrank second confirmation) for the four
+    # newest queries below; each SSB flight keeps a representative.
     "ssb1_1",
-    "ssb1_2",
-    "ssb1_3",
     "ssb2_1",
-    "ssb2_2",
-    "ssb2_3",
     "ssb3_1",
     "ssb3_2",
     "ssb3_3",
@@ -125,6 +124,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ds_lochierarchy",  # new: q36 rank-within-rollup-level
     "ds_dual_rank",     # new: q49 dual rank filter
     "events_markov",    # new: transition-matrix sequence model
+    "doc_chunks",       # new: RAG sliding-window chunker
+    "events_rfm",       # new: RFM quartile segmentation
+    "events_streak",    # new: gaps-and-islands day streaks
+    "emb_pq",           # new: product quantization codes
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity

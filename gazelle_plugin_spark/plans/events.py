@@ -770,3 +770,153 @@ def events_markov(spark, sf_dir):
         .select("prev_type", "next_type", "n_trans", "p_trans")
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "events_rfm",
+    oracle=_EVENTS_CTE
+    + """
+, per_user AS (
+  SELECT user_id,
+         MAX(ts_us) AS last_ts_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM e GROUP BY user_id
+)
+SELECT user_id, last_ts_us, n_events, monetary,
+       r_tile, f_tile, m_tile,
+       CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR)
+         || CAST(m_tile AS VARCHAR) AS rfm_segment
+FROM (
+  SELECT per_user.*,
+         CAST(NTILE(4) OVER (ORDER BY last_ts_us DESC, user_id) AS INT) AS r_tile,
+         CAST(NTILE(4) OVER (ORDER BY n_events DESC, user_id) AS INT) AS f_tile,
+         CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_tile
+  FROM per_user
+) t
+ORDER BY user_id
+""",
+)
+def events_rfm(spark, sf_dir):
+    """RFM segmentation: quartile scores for Recency (latest event),
+    Frequency (event count) and Monetary (exact-decimal value sum)
+    per user, concatenated into the classic '111'..'444' segment key.
+
+    Scale shape: ONE user_id aggregate reduces the fact to user grain
+    (map-side combinable), and only that user-grain relation — already
+    orders of magnitude smaller than the event log — enters the three
+    NTILE windows. The windows share an empty partitionBy, which at
+    cluster scale is the known single-reducer shape: a production run
+    over billions of USERS swaps NTILE for approx-quantile cut points
+    (percentile_approx + a broadcast range join), the same output
+    contract; at user-dimension cardinality the exact global sort is
+    the right call. Ties are broken by user_id on both engines so
+    every tile assignment is deterministic.
+    """
+    e = events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_ts_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("monetary"),
+    )
+    r_w = Window.orderBy(F.desc("last_ts_us"), "user_id")
+    f_w = Window.orderBy(F.desc("n_events"), "user_id")
+    m_w = Window.orderBy(F.desc("monetary"), "user_id")
+    return (
+        per_user.withColumn("r_tile", F.ntile(4).over(r_w))
+        .withColumn("f_tile", F.ntile(4).over(f_w))
+        .withColumn("m_tile", F.ntile(4).over(m_w))
+        .select(
+            "user_id",
+            "last_ts_us",
+            "n_events",
+            "monetary",
+            "r_tile",
+            "f_tile",
+            "m_tile",
+            F.concat(
+                F.col("r_tile").cast("string"),
+                F.col("f_tile").cast("string"),
+                F.col("m_tile").cast("string"),
+            ).alias("rfm_segment"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), numbered AS (
+  SELECT user_id, d,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+), runs AS (
+  SELECT user_id, d - CAST(rn AS INT) AS anchor,
+         CAST(COUNT(*) AS BIGINT) AS len, MIN(d) AS s
+  FROM numbered GROUP BY user_id, d - CAST(rn AS INT)
+), best AS (
+  SELECT user_id, len, s,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, s) AS rk,
+         CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+           AS n_active_days
+  FROM runs
+)
+SELECT user_id, len AS longest_streak,
+       CAST(s AS TIMESTAMP) AS streak_start, n_active_days
+FROM best WHERE rk = 1
+ORDER BY user_id
+""",
+)
+def events_streak(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands shape (engagement metric for retention work).
+
+    ``date - row_number`` is constant within a consecutive run, so
+    runs fall out of one GROUP BY on that anchor — no self-join, no
+    iterative logic. The per-user longest run then needs NO second
+    window: ``max(struct(len, -day_number, start))`` folds the
+    (longest, earliest-start) tie-break into a combinable aggregate
+    (the oracle's ROW_NUMBER formulation proves equivalence).
+
+    Scale shape: three exchanges before the final ORDER BY — the
+    DISTINCT on (user_id, day), the user_id window, the (user_id,
+    anchor) run-count — but every one of them moves the (user, day)
+    grain, already collapsed from the raw event log by the DISTINCT's
+    partial (map-side) aggregation, never the fact itself. A
+    user_id-bucketed event log collapses all three into in-partition
+    work.
+    """
+    e = events(spark, sf_dir)
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("anchor", F.expr("date_sub(d, rn)"))
+        .groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"), F.min("d").alias("s"))
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("len"),
+                    (-F.datediff(F.col("s"), epoch)).alias("neg_day"),
+                    F.col("s").alias("s"),
+                )
+            ).alias("best"),
+            F.sum("len").alias("n_active_days"),
+        )
+        .select(
+            "user_id",
+            F.col("best.len").alias("longest_streak"),
+            F.col("best.s").cast("timestamp").alias("streak_start"),
+            "n_active_days",
+        )
+        .orderBy("user_id")
+    )

@@ -665,3 +665,109 @@ def emb_kmeans(spark, sf_dir):
         )
         .orderBy("cl")
     )
+
+
+#: Product-quantization geometry: 64 dims -> 4 subspaces x 16 dims,
+#: 8 codewords per subspace (the 8 lowest vec_ids' subvectors — the
+#: same deterministic-init convention as emb_kmeans).
+PQ_M = 4
+PQ_SUB_DIM = 16
+PQ_K = 8
+
+
+@query(
+    "emb_pq",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+dims AS (
+  SELECT vec_id, g.i AS pos, embedding[g.i]::DOUBLE AS x
+  FROM e, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+sdims AS (
+  SELECT vec_id, CAST((pos - 1) // {PQ_SUB_DIM} AS INT) AS sub, pos, x
+  FROM dims
+),
+code AS (
+  SELECT vec_id AS code, pos, x AS c FROM sdims WHERE vec_id < {PQ_K}
+),
+d AS (
+  SELECT s.vec_id, s.sub, code.code,
+         SUM(CAST(ROUND((s.x - code.c) * (s.x - code.c), 8)
+                  AS DECIMAL(20,8))) AS d2
+  FROM sdims s JOIN code ON s.pos = code.pos
+  GROUP BY s.vec_id, s.sub, code.code
+),
+a AS (
+  SELECT vec_id, sub, code, d2 FROM (
+    SELECT vec_id, sub, code, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code) AS rk
+    FROM d
+  ) WHERE rk = 1
+)
+SELECT vec_id,
+       CAST(MAX(CASE WHEN sub = 0 THEN code END) AS INT) AS c0,
+       CAST(MAX(CASE WHEN sub = 1 THEN code END) AS INT) AS c1,
+       CAST(MAX(CASE WHEN sub = 2 THEN code END) AS INT) AS c2,
+       CAST(MAX(CASE WHEN sub = 3 THEN code END) AS INT) AS c3,
+       CAST(SUM(d2) AS DOUBLE) AS pq_err
+FROM a GROUP BY vec_id ORDER BY vec_id
+""",
+)
+def emb_pq(spark, sf_dir):
+    """Product quantization (Jegou'11): each vector is split into
+    {PQ_M} subvectors of {PQ_SUB_DIM} dims, each independently snapped
+    to the nearest of {PQ_K} per-subspace codewords — compressing a
+    64-float embedding to {PQ_M} small codes (the memory layout an
+    IVF-PQ index scans at 100 TB, ~64x smaller than the raw floats).
+    Codebooks are deterministic (the {PQ_K} lowest vec_ids'
+    subvectors; a production run trains them with the emb_kmeans
+    update loop per subspace — same dataflow). Output: the {PQ_M}
+    codes plus the exact total reconstruction error.
+
+    Scale shape: the corpus streams ONCE against the BROADCAST
+    codebook ({PQ_M} x {PQ_K} subvectors — kilobytes); the argmin per
+    (vector, subspace) is a WindowGroupLimit rank over {PQ_K} rows
+    inside the explode, and the fold back to one row per vector is a
+    combinable aggregate on vec_id — one shuffle on the corpus, no
+    all-pairs anything. Exact-decimal distance accumulation
+    (:func:`_km_dist2`) keeps Spark's array fold and the oracle's
+    relational SUM bit-identical.
+    """
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+
+    def explode_subs(df, id_alias):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+            F.col("e"),
+        ).select(
+            id_alias,
+            "sub",
+            F.expr(f"slice(e, sub * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})").alias("sv"),
+        )
+
+    corpus = explode_subs(v, "vec_id")
+    codebook = explode_subs(v.filter(F.col("vec_id") < PQ_K), "code").withColumnRenamed(
+        "sv", "cv"
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    assigned = (
+        corpus.join(F.broadcast(codebook), "sub")
+        .withColumn("d2", _km_dist2("sv", "cv"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    code_cols = [
+        F.max(F.when(F.col("sub") == s, F.col("code")))
+        .cast("int")
+        .alias(f"c{s}")
+        for s in range(PQ_M)
+    ]
+    return (
+        assigned.groupBy("vec_id")
+        .agg(*code_cols, F.sum("d2").cast("double").alias("pq_err"))
+        .orderBy("vec_id")
+    )

@@ -1333,3 +1333,59 @@ def doc_hash_embed(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: RAG chunker geometry: 200-char windows every 150 chars (50 overlap).
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         UNNEST(generate_series(1, greatest(n_chars, 1), {CHUNK_STRIDE})) AS g
+  FROM documents
+)
+SELECT doc_id,
+       CAST((g - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(g AS INT) AS chunk_start,
+       CAST(length(substr(text, CAST(g AS INT), {CHUNK_CHARS})) AS INT) AS chunk_chars,
+       {sql_md5h60(f"substr(text, CAST(g AS INT), {CHUNK_CHARS})")} AS chunk_hash
+FROM starts
+ORDER BY doc_id, chunk_idx
+""",
+)
+def doc_chunks(spark, sf_dir):
+    """RAG-style sliding-window chunker: every document becomes
+    overlapping {CHUNK_CHARS}-char chunks on a {CHUNK_STRIDE}-char
+    stride (50-char overlap so no retrieval context is cut mid-span).
+    Start offsets come from an in-row ``sequence()`` + ``explode`` —
+    the chunk grid is derived arithmetic, not data — and each chunk
+    carries a deterministic :func:`~._util.md5h60` content hash, the
+    key a downstream chunk-level dedup or vector index joins on.
+
+    Scale shape: ZERO shuffles before the final ORDER BY — chunking is
+    per-row expression work that stays inside whole-stage codegen, so
+    100 TB chunks at scan speed; the ~1.3x row multiplication happens
+    post-scan with no exchange (explode output flows straight to the
+    next stage's map side)."""
+    d = t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long"),
+        F.lit(CHUNK_STRIDE).cast("long"),
+    )
+    chunk = F.expr(f"substring(text, CAST(start AS INT), {CHUNK_CHARS})")
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.col("start").cast("int").alias("chunk_start"),
+            F.length(chunk).cast("int").alias("chunk_chars"),
+            md5h60(chunk).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

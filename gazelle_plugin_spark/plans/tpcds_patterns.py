@@ -1734,8 +1734,10 @@ WITH agg AS (
 SELECT channel, l_partkey, return_ratio, amt_ratio, qty_rank, amt_rank
 FROM (
   SELECT rated.*,
-         RANK() OVER (PARTITION BY channel ORDER BY return_ratio DESC) AS qty_rank,
-         RANK() OVER (PARTITION BY channel ORDER BY amt_ratio DESC) AS amt_rank
+         CAST(RANK() OVER (PARTITION BY channel
+                           ORDER BY return_ratio DESC) AS INT) AS qty_rank,
+         CAST(RANK() OVER (PARTITION BY channel
+                           ORDER BY amt_ratio DESC) AS INT) AS amt_rank
   FROM rated
 ) r
 WHERE qty_rank <= 10 OR amt_rank <= 10
