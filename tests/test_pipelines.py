@@ -164,3 +164,103 @@ def test_tfidf_rank_prunes_with_window_group_limit(spark):
     target (OptimizerOverrides.scala:39-218)."""
     for name in ("doc_tfidf_topterms", "doc_quota_sample"):
         assert "WindowGroupLimit" in _plan(spark, name), name
+
+
+def test_doc_chunks_cover_and_overlap(spark):
+    """Chunk grid invariants: indices are contiguous from 0, starts
+    advance by exactly the stride, and the final chunk reaches the end
+    of the document (full coverage — no text outside any chunk)."""
+    from gazelle_plugin_spark.plans.text_pipeline import CHUNK_STRIDE
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["doc_chunks"](spark, SF_SMALL).collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    n_chars = {r.doc_id: r.n_chars for r in docs}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_chars)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        for i, c in enumerate(chunks):
+            assert c.chunk_start == 1 + i * CHUNK_STRIDE
+        last = chunks[-1]
+        # the last chunk ends exactly at the document end
+        assert last.chunk_start + last.chunk_chars - 1 == n_chars[doc_id]
+        # and a further start would fall past the text
+        assert last.chunk_start + CHUNK_STRIDE > n_chars[doc_id]
+
+
+def test_events_streak_vs_bruteforce(spark):
+    """Longest-streak results equal a per-user brute-force fold over
+    the sorted distinct active days."""
+    from tests.conftest import SF_SMALL
+    from gazelle_plugin_spark.plans.events import events
+
+    got = {
+        r.user_id: (r.longest_streak, r.streak_start.date(), r.n_active_days)
+        for r in QUERIES["events_streak"](spark, SF_SMALL).collect()
+    }
+    days = (
+        events(spark, SF_SMALL)
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    per_user = {}
+    for r in days:
+        per_user.setdefault(r.user_id, set()).add(r.d)
+    assert set(got) == set(per_user)
+    from datetime import timedelta
+
+    for uid, ds in per_user.items():
+        best_len, best_start = 0, None
+        for d in sorted(ds):
+            if d - timedelta(days=1) in ds:
+                continue  # not a streak start
+            length = 1
+            while d + timedelta(days=length) in ds:
+                length += 1
+            if length > best_len:
+                best_len, best_start = length, d
+        assert got[uid] == (best_len, best_start, len(ds)), uid
+
+
+def test_events_rfm_tiles_balanced(spark):
+    """NTILE(4) invariants: tile sizes differ by at most one, every
+    tile is 1..4, and the segment string is the tile concatenation."""
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["events_rfm"](spark, SF_SMALL).collect()
+    n = len(rows)
+    for col in ("r_tile", "f_tile", "m_tile"):
+        counts = {}
+        for r in rows:
+            v = getattr(r, col)
+            assert 1 <= v <= 4, (col, v)
+            counts[v] = counts.get(v, 0) + 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
+        assert sum(counts.values()) == n
+    for r in rows:
+        assert r.rfm_segment == f"{r.r_tile}{r.f_tile}{r.m_tile}"
+
+
+def test_emb_pq_codewords_self_match(spark):
+    """A vector that IS a codeword must quantize to itself with zero
+    reconstruction error; all codes lie in [0, PQ_K)."""
+    from gazelle_plugin_spark.plans.similarity_queries import PQ_K, PQ_M
+    from tests.conftest import SF_SMALL
+
+    rows = QUERIES["emb_pq"](spark, SF_SMALL).collect()
+    for r in rows:
+        for s in range(PQ_M):
+            assert 0 <= getattr(r, f"c{s}") < PQ_K
+        assert r.pq_err >= 0
+        if r.vec_id < PQ_K:
+            assert r.pq_err == 0.0, r
+            assert all(getattr(r, f"c{s}") == r.vec_id for s in range(PQ_M)), r
