@@ -50,6 +50,8 @@ PIPELINE_BENCH = [
     "events_asof_join",
     "doc_curation_pipeline",
     "doc_neardup_components",
+    "doc_chunks",
+    "emb_pq",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

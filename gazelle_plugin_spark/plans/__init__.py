@@ -96,14 +96,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # values); driver records its rows-only check
     "expr_hash_native",
     # SSB flight — green once (r03); now also in the default bench
-    # set. ssb1_2/1_3/2_2/2_3 rotated out late in round 6 (policy:
-    # never-verified rows outrank second confirmation) for the four
-    # newest queries below; each SSB flight keeps a representative.
+    # set. ssb1_2/1_3/2_2/2_3/3_2/3_3 rotated out late in round 6
+    # (policy: never-verified rows outrank second confirmation) for
+    # the six newest queries below; each flight keeps a
+    # representative.
     "ssb1_1",
     "ssb2_1",
     "ssb3_1",
-    "ssb3_2",
-    "ssb3_3",
     "ssb3_4",
     "ssb4_1",
     "ssb4_2",
@@ -128,6 +127,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_rfm",       # new: RFM quartile segmentation
     "events_streak",    # new: gaps-and-islands day streaks
     "emb_pq",           # new: product quantization codes
+    "ds_channel_overlap",  # new: q97 full-outer overlap counts
+    "ds_rev_histogram",    # new: q54 revenue-segment histogram
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity

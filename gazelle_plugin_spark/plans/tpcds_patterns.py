@@ -84,6 +84,11 @@ part/supplier/nation as in plans/ssb.py.
 - ds_dual_rank     <- resources/tpcds/q49.sql: two ranks over the
                      same per-channel pre-aggregate, keep rows where
                      EITHER rank <= 10 (one exchange, two sorts)
+- ds_channel_overlap <- resources/tpcds/q97.sql: FULL OUTER join of
+                     two DISTINCT (customer, item) key sets, overlap
+                     counts in one pass
+- ds_rev_histogram <- resources/tpcds/q54.sql tail: per-customer
+                     revenue bucketed into fixed-width segments
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -1642,11 +1647,11 @@ WITH agg AS (
 )
 SELECT p_type, p_brand, lochierarchy,
        ROUND(CAST(rev_d AS DOUBLE) / CAST(qty_d AS DOUBLE), 6) AS unit_rev,
-       RANK() OVER (
+       CAST(RANK() OVER (
          PARTITION BY lochierarchy,
                       CASE WHEN g_brand = 0 THEN p_type END
          ORDER BY ROUND(CAST(rev_d AS DOUBLE) / CAST(qty_d AS DOUBLE), 6) ASC
-       ) AS rank_within_parent
+       ) AS INT) AS rank_within_parent
 FROM agg
 ORDER BY lochierarchy DESC, p_type NULLS FIRST, rank_within_parent,
          p_brand NULLS FIRST
@@ -1797,4 +1802,128 @@ def ds_dual_rank(spark, sf_dir):
         )
         .filter((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
         .orderBy("channel", "qty_rank", "amt_rank", "l_partkey")
+    )
+
+
+@query(
+    "ds_channel_overlap",
+    oracle=f"""
+WITH y95 AS (
+  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1995
+), y96 AS (
+  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1996
+)
+SELECT
+  CAST(SUM(CASE WHEN y95.custkey IS NOT NULL AND y96.custkey IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS both_years,
+  CAST(SUM(CASE WHEN y96.custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS y1995_only,
+  CAST(SUM(CASE WHEN y95.custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS y1996_only
+FROM y95 FULL OUTER JOIN y96
+  ON y95.custkey = y96.custkey AND y95.partkey = y96.partkey
+""",
+)
+def ds_channel_overlap(spark, sf_dir):
+    """resources/tpcds/q97.sql pattern: channel-overlap counts via a
+    FULL OUTER join of two DISTINCT (customer, item) key sets — how
+    many pairs bought in both channels vs exactly one. Channels map
+    to order years 1995/1996 over the same fact (the synthetic
+    orders span 1995-2001).
+
+    Scale shape: each side collapses to DISTINCT key pairs FIRST
+    (partial aggregation halves the shuffle before the join), then
+    one co-partitioned full-outer merge on the pair key feeds a
+    global count — the classic audience-overlap query, never a
+    cartesian. The year filters push into the orders scan.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+
+    def pairs(year):
+        return (
+            li.join(
+                o.filter(F.year("o_orderdate") == year),
+                li.l_orderkey == o.o_orderkey,
+            )
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("l_partkey").alias("partkey"),
+            )
+            .distinct()
+        )
+
+    a, b = pairs(1995), pairs(1996)
+    j = a.withColumn("in95", F.lit(1)).join(
+        b.withColumn("in96", F.lit(1)),
+        ["custkey", "partkey"],
+        "full_outer",
+    )
+    return j.agg(
+        F.sum(
+            F.when(F.col("in95").isNotNull() & F.col("in96").isNotNull(), 1).otherwise(
+                0
+            )
+        ).alias("both_years"),
+        F.sum(F.when(F.col("in96").isNull(), 1).otherwise(0)).alias("y1995_only"),
+        F.sum(F.when(F.col("in95").isNull(), 1).otherwise(0)).alias("y1996_only"),
+    )
+
+
+#: q54 revenue-segment width (our synthetic revenues are ~1e4-1e6).
+REV_SEGMENT = 50000
+
+
+@query(
+    "ds_rev_histogram",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         {sql_dsum(SQL_DISC_PRICE)} AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1995
+  GROUP BY o_custkey
+)
+SELECT CAST(floor(revenue / {REV_SEGMENT}) AS INT) AS segment,
+       CAST(floor(revenue / {REV_SEGMENT}) * {REV_SEGMENT} AS DOUBLE)
+         AS segment_base,
+       CAST(COUNT(*) AS BIGINT) AS num_customers
+FROM per_cust
+GROUP BY 1, 2
+ORDER BY segment
+""",
+)
+def ds_rev_histogram(spark, sf_dir):
+    """resources/tpcds/q54.sql tail pattern: the customer-revenue
+    histogram — per-customer revenue bucketed into fixed-width
+    segments, counting customers per segment.
+
+    Scale shape: one (custkey) aggregate over the filtered fact, then
+    a second aggregate over the customer-grain relation — both
+    map-side combinable, no joins beyond the pushed-filter star. The
+    bucket id is floor() of a double whose input bits are identical
+    on both engines (exact decimal sum cast once), so segment
+    boundaries can't flip cross-engine.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+    seg = F.floor(F.col("revenue") / REV_SEGMENT).cast("int")
+    return (
+        per_cust.groupBy(
+            seg.alias("segment"),
+            (F.floor(F.col("revenue") / REV_SEGMENT) * REV_SEGMENT)
+            .cast("double")
+            .alias("segment_base"),
+        )
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+        .orderBy("segment")
     )
