@@ -96,17 +96,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # values); driver records its rows-only check
     "expr_hash_native",
     # SSB flight — green once (r03); now also in the default bench
-    # set. ssb1_2/1_3/2_2/2_3/3_2/3_3 rotated out late in round 6
-    # (policy: never-verified rows outrank second confirmation) for
-    # the six newest queries below; each flight keeps a
-    # representative.
-    "ssb1_1",
+    # set. ssb1_2/1_3/2_2/2_3/3_2/3_3/3_4/4_2/4_3 rotated out late in
+    # round 6 (policy: never-verified rows outrank second
+    # confirmation) for the newest queries below; ssb1_1 also rotates
+    # out (its scan+filter+agg shape is q1/q6-covered in-window), so
+    # flights 2-4 keep representatives (ssb3_4 covers flight 3).
     "ssb2_1",
-    "ssb3_1",
     "ssb3_4",
     "ssb4_1",
-    "ssb4_2",
-    "ssb4_3",
     # NEW in round 6, never driver-verified — these take the slots of
     # eight green-once ds_*/rel_* rows (rotation policy: never-verified
     # rows outrank second-confirmation rows)
@@ -129,6 +126,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "emb_pq",           # new: product quantization codes
     "ds_channel_overlap",  # new: q97 full-outer overlap counts
     "ds_rev_histogram",    # new: q54 revenue-segment histogram
+    "ds_band_distinct",    # new: q28 multi-distinct band aggregates
+    "ds_latency_pivot",    # new: q62/q99 latency band pivot
+    "doc_chunk_dedup",     # new: CCNet chunk-grain keep-first dedup
+    "doc_dup_ngram_coverage",  # new: FineWeb dup-ngram diagnostic
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity

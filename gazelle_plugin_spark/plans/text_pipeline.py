@@ -1389,3 +1389,151 @@ def doc_chunks(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+#: Encoded first-occurrence key: doc_id * CHUNK_ENC + chunk_idx. The
+#: chunker emits < ~1e4 chunks/doc at any plausible doc size cap, so
+#: the composite min() is exact while staying a plain combinable
+#: BIGINT min on both engines.
+CHUNK_ENC = 10_000
+
+
+@query(
+    "doc_chunk_dedup",
+    oracle=f"""
+WITH chunks AS (
+  SELECT doc_id,
+         CAST((g - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         {sql_md5h60(f"substr(text, CAST(g AS INT), {CHUNK_CHARS})")} AS h
+  FROM (SELECT doc_id, text,
+               UNNEST(generate_series(1, greatest(n_chars, 1),
+                                      {CHUNK_STRIDE})) AS g
+        FROM documents)
+),
+firsts AS (
+  SELECT h, MIN(doc_id * {CHUNK_ENC} + chunk_idx) AS first_enc
+  FROM chunks GROUP BY h
+),
+kept AS (
+  SELECT first_enc // {CHUNK_ENC} AS doc_id, COUNT(*) AS kept_chunks
+  FROM firsts GROUP BY 1
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS total_chunks FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.total_chunks AS BIGINT) AS total_chunks,
+       CAST(COALESCE(k.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       ROUND(CAST(COALESCE(k.kept_chunks, 0) AS DOUBLE)
+             / CAST(t.total_chunks AS DOUBLE), 6) AS retained_ratio
+FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+ORDER BY t.doc_id
+""",
+)
+def doc_chunk_dedup(spark, sf_dir):
+    """CCNet-style sub-document dedup (Wenzek et al. 2020 dedupe
+    paragraphs before training): exact dedup at CHUNK grain with a
+    keep-first policy — a chunk survives iff it is the corpus-wide
+    first occurrence (min (doc_id, chunk_idx)) of its content hash.
+    Output is the per-document retention report a curation run logs:
+    total chunks, surviving chunks, retained ratio.
+
+    Scale shape: chunking is in-row expression work (doc_chunks); the
+    dedup is ONE combinable groupBy on the 60-bit content hash whose
+    shuffle rows are (hash, encoded-position) pairs — chunk BODIES
+    never shuffle. The keep-first argmin folds into a plain BIGINT
+    ``min`` via position encoding (doc_id * {CHUNK_ENC} + idx), so no
+    window and no struct comparator in the hot aggregate. The final
+    per-doc report joins two doc-grain aggregates (count of wins,
+    count of chunks) — both tiny relative to the corpus.
+    """
+    d = t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1).cast("long"),
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long"),
+        F.lit(CHUNK_STRIDE).cast("long"),
+    )
+    chunk = F.expr(f"substring(text, CAST(start AS INT), {CHUNK_CHARS})")
+    chunks = d.select("doc_id", "text", F.explode(starts).alias("start")).select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        md5h60(chunk).alias("h"),
+    )
+    firsts = chunks.groupBy("h").agg(
+        F.min(F.col("doc_id") * CHUNK_ENC + F.col("chunk_idx")).alias("first_enc")
+    )
+    kept = (
+        firsts.select((F.col("first_enc") / CHUNK_ENC).cast("long").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("kept_chunks"))
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total_chunks"))
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_chunks",
+            F.coalesce("kept_chunks", F.lit(0)).alias("kept_chunks"),
+            F.round(
+                F.coalesce("kept_chunks", F.lit(0)).cast("double")
+                / F.col("total_chunks").cast("double"),
+                6,
+            ).alias("retained_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_dup_ngram_coverage",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+h AS (SELECT doc_id, {sql_md5h60("s")} AS g FROM sh),
+dfc AS (SELECT g, COUNT(*) AS df FROM h GROUP BY g)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_shingles,
+       ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_coverage
+FROM h JOIN dfc USING (g)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_dup_ngram_coverage(spark, sf_dir):
+    """Duplicated-n-gram coverage (the RefinedWeb / FineWeb dedup
+    diagnostic): for each document, the fraction of its distinct
+    3-gram shingles that also occur in at least one OTHER document.
+    High coverage means the doc is mostly boilerplate already seen
+    elsewhere — the metric curation runs plot to pick dedup
+    thresholds, complementing doc_repetition (intra-doc) and
+    doc_contamination (vs a benchmark set).
+
+    Scale shape: shingles hash to 60-bit ints in-row, so the shuffle
+    carries (long, long) pairs, never shingle strings. The document
+    frequency is a whole-partition ``count().over(partitionBy(g))``
+    window rather than a groupBy + join-back: the corpus is shingled
+    and shuffled ONCE (the join form re-derives the shingle relation
+    for each consumer — two full corpus passes; measured 1.45x slower
+    at sf0.1). The oracle keeps the groupBy+join form, proving the
+    window rewrite equivalent. A doc with every shingle unique scores
+    0; exact duplicates score 1.
+    """
+    sh = _shingles(spark, sf_dir).select("doc_id", md5h60("s").alias("g"))
+    shd = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    return (
+        shd.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )

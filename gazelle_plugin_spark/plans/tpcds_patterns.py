@@ -89,6 +89,13 @@ part/supplier/nation as in plans/ssb.py.
                      counts in one pass
 - ds_rev_histogram <- resources/tpcds/q54.sql tail: per-customer
                      revenue bucketed into fixed-width segments
+- ds_band_distinct <- resources/tpcds/q28.sql: N quantity bands, each
+                     wanting avg + count + COUNT(DISTINCT price) — one
+                     multi-distinct conditional-aggregate pass (Expand)
+                     instead of q28's 6-subquery cross join
+- ds_latency_pivot <- resources/tpcds/q62.sql (also q99): order->ship
+                     latency bucketed into day bands, conditional-sum
+                     pivot per supplier nation
 
 Float discipline matches the engine convention: window sums go
 through exact decimals; ratios are single double divisions of
@@ -1926,4 +1933,146 @@ def ds_rev_histogram(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("num_customers"))
         .orderBy("segment")
+    )
+
+
+#: q28 quantity bands (the synthetic l_quantity is uniform 1..50).
+QTY_BANDS = ((1, 12), (13, 25), (26, 38), (39, 50))
+
+
+def _band_cols():
+    """Per-band (avg, count, count-distinct) aggregate columns over
+    l_extendedprice, guarded by a quantity-band condition. The price
+    goes through DECIMAL(12,2) so the distinct set and the average
+    are exact on both engines."""
+    cols = []
+    for lo, hi in QTY_BANDS:
+        cond = F.col("l_quantity").between(lo, hi)
+        price = F.when(cond, dec("l_extendedprice"))
+        cols += [
+            F.round(
+                F.sum(price).cast("double") / F.count(price).cast("double"), 6
+            ).alias(f"avg_price_{lo}_{hi}"),
+            F.count(price).alias(f"cnt_{lo}_{hi}"),
+            F.countDistinct(price).alias(f"cntd_{lo}_{hi}"),
+        ]
+    return cols
+
+
+def _band_sql():
+    parts = []
+    for lo, hi in QTY_BANDS:
+        guard = f"l_quantity BETWEEN {lo} AND {hi}"
+        price = f"CASE WHEN {guard} THEN CAST(l_extendedprice AS DECIMAL(12,2)) END"
+        parts += [
+            f"ROUND(CAST(SUM({price}) AS DOUBLE)"
+            f" / CAST(COUNT({price}) AS DOUBLE), 6) AS avg_price_{lo}_{hi}",
+            f"CAST(COUNT({price}) AS BIGINT) AS cnt_{lo}_{hi}",
+            f"CAST(COUNT(DISTINCT {price}) AS BIGINT) AS cntd_{lo}_{hi}",
+        ]
+    return ",\n       ".join(parts)
+
+
+@query(
+    "ds_band_distinct",
+    oracle=f"""
+SELECT {_band_sql()}
+FROM lineitem
+""",
+)
+def ds_band_distinct(spark, sf_dir):
+    """resources/tpcds/q28.sql pattern: several value bands, each
+    reporting avg / count / COUNT(DISTINCT price), in ONE pass.
+    q28 writes this as six scalar subqueries cross-joined; the
+    engine form is a single global aggregate with per-band guards,
+    where the multiple DISTINCT aggregates plan through Catalyst's
+    Expand-based distinct rewrite.
+
+    Scale shape: one fact scan; Expand multiplies rows by the number
+    of distinct aggregates BUT the partial aggregate collapses each
+    (band, price) pair map-side before the single shuffle, so the
+    exchange carries ~|bands| x |distinct prices| rows, not the fact.
+    No joins, no windows. The averages divide exact decimal sums cast
+    once to double, rounded identically on both engines.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(*_band_cols())
+
+
+#: q62 latency bands in days (order date -> ship date; the synthetic
+#: shipdate is not clamped to follow the order, so a negative
+#: "data error" band genuinely occurs and is worth surfacing).
+LAT_BANDS = (
+    ("neg", None, -1),
+    ("d0_30", 0, 30),
+    ("d31_90", 31, 90),
+    ("d91_365", 91, 365),
+    ("over_1y", 366, None),
+)
+
+
+@query(
+    "ds_latency_pivot",
+    oracle="""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dd <= -1 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+       CAST(SUM(CASE WHEN dd BETWEEN 0 AND 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d0_30,
+       CAST(SUM(CASE WHEN dd BETWEEN 31 AND 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d31_90,
+       CAST(SUM(CASE WHEN dd BETWEEN 91 AND 365 THEN 1 ELSE 0 END) AS BIGINT)
+         AS d91_365,
+       CAST(SUM(CASE WHEN dd >= 366 THEN 1 ELSE 0 END) AS BIGINT) AS over_1y
+FROM (
+  SELECT n_name,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS dd
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def ds_latency_pivot(spark, sf_dir):
+    """resources/tpcds/q62.sql (also q99) pattern: fulfillment-latency
+    band pivot — days between order and ship bucketed into fixed
+    bands, one count column per band, grouped by supplier nation.
+
+    Scale shape: the only big exchange is the lineitem-orders key
+    join; supplier and nation broadcast; the band pivot is a single
+    conditional aggregate (map-side combinable — the shuffle carries
+    |nations| x 7 counters). datediff runs on DATE casts on both
+    engines so timestamp-vs-date day-boundary semantics can't skew a
+    bucket.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    dd = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", dd.alias("dd"))
+    )
+    band_cols = []
+    for name, lo, hi in LAT_BANDS:
+        if lo is None:
+            cond = F.col("dd") <= hi
+        elif hi is None:
+            cond = F.col("dd") >= lo
+        else:
+            cond = F.col("dd").between(lo, hi)
+        band_cols.append(F.sum(F.when(cond, 1).otherwise(0)).alias(name))
+    return (
+        joined.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_lines"), *band_cols)
+        .orderBy("n_name")
     )
