@@ -264,3 +264,63 @@ def test_emb_pq_codewords_self_match(spark):
         if r.vec_id < PQ_K:
             assert r.pq_err == 0.0, r
             assert all(getattr(r, f"c{s}") == r.vec_id for s in range(PQ_M)), r
+
+
+def test_doc_chunk_dedup_keep_first_bruteforce(spark):
+    """Chunk-grain keep-first dedup equals a brute-force first-
+    occurrence scan over the doc_chunks relation: per-doc totals
+    match the chunk grid, kept counts equal the number of hashes
+    whose corpus-min (doc_id, chunk_idx) lands in that doc, the
+    kept totals sum to the number of DISTINCT hashes, and ratios
+    stay in [0, 1]."""
+    from tests.conftest import SF_SMALL
+
+    chunks = QUERIES["doc_chunks"](spark, SF_SMALL).collect()
+    first_by_hash = {}
+    totals = {}
+    for c in chunks:
+        totals[c.doc_id] = totals.get(c.doc_id, 0) + 1
+        key = (c.doc_id, c.chunk_idx)
+        if c.chunk_hash not in first_by_hash or key < first_by_hash[c.chunk_hash]:
+            first_by_hash[c.chunk_hash] = key
+    kept = {}
+    for doc_id, _idx in first_by_hash.values():
+        kept[doc_id] = kept.get(doc_id, 0) + 1
+
+    rows = QUERIES["doc_chunk_dedup"](spark, SF_SMALL).collect()
+    assert {r.doc_id for r in rows} == set(totals)
+    assert sum(r.kept_chunks for r in rows) == len(first_by_hash)
+    for r in rows:
+        assert r.total_chunks == totals[r.doc_id], r
+        assert r.kept_chunks == kept.get(r.doc_id, 0), r
+        assert 0.0 <= r.retained_ratio <= 1.0
+        assert r.kept_chunks <= r.total_chunks
+
+
+def test_doc_dup_ngram_coverage_bruteforce(spark):
+    """Dup-shingle coverage equals a brute-force document-frequency
+    count over the distinct-shingle relation; bounds hold (coverage
+    in [0, 1], dup_shingles <= n_shingles), and a doc duplicated
+    verbatim would score 1 — approximated here by asserting that
+    every shingle shared across docs is counted on BOTH docs."""
+    from gazelle_plugin_spark.plans.text_pipeline import _shingles
+    from tests.conftest import SF_SMALL
+
+    sh = _shingles(spark, SF_SMALL).collect()
+    df_count = {}
+    for r in sh:
+        df_count[r.s] = df_count.get(r.s, 0) + 1
+    per_doc_total = {}
+    per_doc_dup = {}
+    for r in sh:
+        per_doc_total[r.doc_id] = per_doc_total.get(r.doc_id, 0) + 1
+        if df_count[r.s] >= 2:
+            per_doc_dup[r.doc_id] = per_doc_dup.get(r.doc_id, 0) + 1
+
+    rows = QUERIES["doc_dup_ngram_coverage"](spark, SF_SMALL).collect()
+    assert {r.doc_id for r in rows} == set(per_doc_total)
+    for r in rows:
+        assert r.n_shingles == per_doc_total[r.doc_id], r
+        assert r.dup_shingles == per_doc_dup.get(r.doc_id, 0), r
+        assert 0.0 <= r.dup_coverage <= 1.0
+        assert r.dup_shingles <= r.n_shingles
