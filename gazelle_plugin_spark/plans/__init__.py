@@ -98,12 +98,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # SSB flight — green once (r03); now also in the default bench
     # set. ssb1_2/1_3/2_2/2_3/3_2/3_3/3_4/4_2/4_3 rotated out late in
     # round 6 (policy: never-verified rows outrank second
-    # confirmation) for the newest queries below; ssb1_1 also rotates
-    # out (its scan+filter+agg shape is q1/q6-covered in-window), so
-    # flights 2-4 keep representatives (ssb3_4 covers flight 3).
-    "ssb2_1",
-    "ssb3_4",
-    "ssb4_1",
+    # confirmation) for the newest queries below. Late round 6 the
+    # LAST three SSB representatives (ssb2_1/3_4/4_1) also rotate out
+    # for rel_window_cntd/events_gapfill/events_ohlc: the whole SSB
+    # flight is driver-green (r03), stays under the identical local
+    # oracle gate, and is benched by default every round.
     # NEW in round 6, never driver-verified — these take the slots of
     # eight green-once ds_*/rel_* rows (rotation policy: never-verified
     # rows outrank second-confirmation rows)
@@ -130,6 +129,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ds_latency_pivot",    # new: q62/q99 latency band pivot
     "doc_chunk_dedup",     # new: CCNet chunk-grain keep-first dedup
     "doc_dup_ngram_coverage",  # new: FineWeb dup-ngram diagnostic
+    "rel_window_cntd",     # new: COUNT(DISTINCT) OVER rewrite
+    "events_gapfill",      # new: hourly grid densify + forward fill
+    "events_ohlc",         # new: OHLC resample via min_by/max_by
 )
 
 #: Window entries with NO DuckDB oracle — cross-engine value identity

@@ -920,3 +920,173 @@ def events_streak(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+#: gap-fill grid resolution: one hour, in microseconds.
+HOUR_US = 3_600_000_000
+
+
+@query(
+    "events_gapfill",
+    oracle=_EVENTS_CTE
+    + f"""
+, hourly AS (
+  SELECT user_id, ts_us // {HOUR_US} AS h,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+  FROM e GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1)) AS h FROM spans
+)
+SELECT g.user_id,
+       make_timestamp(g.h * {HOUR_US}) AS hour_ts,
+       CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n_events,
+       hourly.v AS hour_value,
+       last_value(hourly.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CASE WHEN hourly.h IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM grid g LEFT JOIN hourly
+  ON g.user_id = hourly.user_id AND g.h = hourly.h
+ORDER BY g.user_id, g.h
+""",
+)
+def events_gapfill(spark, sf_dir):
+    """Time-series gap fill + forward fill (the resample/ffill a
+    metrics or feature-engineering pipeline runs before modeling):
+    the event stream rolls up to a per-(user, hour) grain, each
+    user's span densifies to a complete hourly grid (missing hours
+    materialize as rows with n_events = 0), and the last observed
+    hourly value carries forward across gaps via
+    ``last(..., ignorenulls=True)`` over the user timeline.
+
+    Scale shape: the fact shuffles ONCE to (user, hour) grain (one
+    map-side-combinable aggregate); spans, the in-row
+    sequence+explode grid, the grid<->hourly join, and the
+    forward-fill window all run at HOUR grain — orders of magnitude
+    smaller than the event log. The forward-fill is the canonical
+    running ``last() ignorenulls`` frame (UnboundedPreceding ->
+    CurrentRow, the frame the reference accepted —
+    ColumnarWindowExec.scala:141-150); DuckDB proves it with
+    last_value IGNORE NULLS. The grid join keys on (user, hour) —
+    both sides already partitioned by the hourly aggregate's
+    exchange, and the grid side is derived FROM hourly, so at any
+    scale the join is between two hour-grain relations.
+    """
+    e = events(spark, sf_dir)
+    hourly = (
+        e.select("user_id", (F.col("ts_us") / HOUR_US).cast("long").alias("h"),
+                 dec("value").alias("dv"))
+        .groupBy("user_id", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dv").cast("double").alias("v"),
+        )
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("h") * HOUR_US).alias("hour_ts"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.col("v").alias("hour_value"),
+            F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("user_id", "hour_ts")
+    )
+
+
+@query(
+    "events_ohlc",
+    oracle=_EVENTS_CTE
+    + f"""
+, rn AS (
+  SELECT user_id, ts_us // {HOUR_US} AS h, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {HOUR_US}
+                            ORDER BY ts_us, event_id) AS rno,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {HOUR_US}
+                            ORDER BY ts_us DESC, event_id DESC) AS rnc
+  FROM e
+)
+SELECT user_id,
+       make_timestamp(h * {HOUR_US}) AS hour_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(CASE WHEN rno = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rnc = 1 THEN value END) AS close,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+FROM rn
+GROUP BY user_id, h
+ORDER BY user_id, hour_ts
+""",
+)
+def events_ohlc(spark, sf_dir):
+    """OHLC resampling (the candlestick/feature rollup a time-series
+    store serves): per (user, hour) bucket — first value (open), max
+    (high), min (low), last value (close), event count, and exact
+    decimal volume.
+
+    Scale shape: ONE map-side-combinable aggregate — open/close need
+    no window and no sort: ``min_by/max_by(value, okey)`` fold the
+    earliest/latest event into the same HASH-aggregate pass as
+    high/low/count/sum. The ordering key packs (ts_us, event_id) into
+    a single fixed-width DECIMAL(38,0) (ts_us * 10^12 + event_id —
+    event ids up to 10^12 stay tie-exact; a struct key would be
+    correct too but demotes the whole aggregate to SortAggregate,
+    i.e. a sort of the fact — measured and rejected, plan-golden
+    pins HashAggregate via no SortAggregate special). The oracle's
+    two ROW_NUMBER windows prove the fold. The shuffle carries one
+    fixed-width row per (user, hour) bucket — at 100 TB the event
+    log streams once, and a user_id-bucketed layout drops even that
+    exchange.
+    """
+    e = events(spark, sf_dir)
+    okey = F.col("ts_us").cast("decimal(38,0)") * 1_000_000_000_000 + F.col(
+        "event_id"
+    )
+    b = e.select(
+        "user_id",
+        (F.col("ts_us") / HOUR_US).cast("long").alias("h"),
+        okey.alias("okey"),
+        "value",
+        dec("value").alias("dv"),
+    )
+    return (
+        b.groupBy("user_id", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", F.col("okey")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("okey")).alias("close"),
+            F.sum("dv").cast("double").alias("volume"),
+        )
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("h") * HOUR_US).alias("hour_ts"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+        .orderBy("user_id", "hour_ts")
+    )

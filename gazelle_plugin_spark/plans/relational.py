@@ -696,3 +696,86 @@ def rel_semi_anti(spark, sf_dir):
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "rel_window_cntd",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_partkey,
+       CAST(COUNT(DISTINCT l_partkey) OVER (
+         PARTITION BY l_orderkey
+         ORDER BY l_linenumber, l_partkey, l_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS parts_so_far,
+       CAST(COUNT(DISTINCT l_partkey) OVER (PARTITION BY l_orderkey)
+         AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+         AS BIGINT) AS n_supp
+FROM lineitem
+WHERE l_orderkey < 1000
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def rel_window_cntd(spark, sf_dir):
+    """COUNT(DISTINCT) OVER a window — an operator Spark SQL does NOT
+    support natively (DISTINCT aggregates are rejected in window
+    frames) — re-expressed as the first-occurrence-flag rewrite:
+    ``row_number() == 1`` per (partition, value) marks each value's
+    first row, and summing the flags over the target frame yields the
+    distinct count, both as a whole-partition total and as a running
+    count along the order. The oracle uses DuckDB's NATIVE distinct
+    window aggregate, proving the rewrite exactly.
+
+    Scale shape: one exchange on l_orderkey serves all four windows
+    (the per-(order, part) / per-(order, supp) row_numbers and the
+    order-wide sums share the partition key, so Catalyst plans one
+    shuffle + in-partition sorts). Detail rows keep their grain — the
+    use case is annotating a fact with deduplicated context without
+    collapsing it. The l_orderkey < 1000 filter pushes into the scan
+    and bounds the compared output; the rewrite itself is
+    corpus-scale (nothing references the filter).
+
+    Determinism note: the synthetic l_linenumber is NOT unique within
+    an order, so a strictly-unique per-row position (row_number over
+    the full sort key) anchors every window: the first-occurrence
+    flag is ``pos == min(pos) per (order, value)``, guaranteeing the
+    flag lands at the FIRST position of the running enumeration even
+    for byte-identical duplicate rows — exactly DuckDB's
+    include-current-row distinct semantics. Rows still tied on the
+    full key are interchangeable, so the output multiset is
+    order-free.
+    """
+    from pyspark.sql import Window
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    )
+    by_order = Window.partitionBy("l_orderkey")
+
+    order_key = ("l_linenumber", "l_partkey", "l_suppkey")
+    pos = F.row_number().over(by_order.orderBy(*order_key))
+    with_pos = li.withColumn("pos", pos)
+
+    def first_flag(col):
+        w = Window.partitionBy("l_orderkey", col)
+        return (F.col("pos") == F.min("pos").over(w)).cast("int")
+
+    flagged = with_pos.withColumn("fp", first_flag("l_partkey")).withColumn(
+        "fs", first_flag("l_suppkey")
+    )
+    running = by_order.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        flagged.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.sum("fp").over(running).cast("long").alias("parts_so_far"),
+            F.sum("fp").over(by_order).cast("long").alias("n_parts"),
+            F.sum("fs").over(by_order).cast("long").alias("n_supp"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
