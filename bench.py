@@ -52,6 +52,8 @@ PIPELINE_BENCH = [
     "doc_neardup_components",
     "doc_chunks",
     "emb_pq",
+    "doc_chunk_dedup",
+    "doc_dup_ngram_coverage",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -30,6 +30,13 @@ def _rows(df):
         # discipline must absorb it at any width
         "doc_quota_sample",
         "emb_kmeans",
+        # round 6 late adds: the distinct-over-window rewrite's
+        # first-occurrence flags (tie-exact duplicates), the chunk
+        # dedup's corpus-wide argmin, and the min_by/max_by OHLC fold
+        # are exactly the kind of logic that could leak layout
+        "rel_window_cntd",
+        "doc_chunk_dedup",
+        "events_ohlc",
     ],
 )
 def test_result_invariant_to_shuffle_width(spark, name):
