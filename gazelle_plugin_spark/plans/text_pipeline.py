@@ -1537,3 +1537,161 @@ def doc_dup_ngram_coverage(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_cluster_dedup",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({_SQL_NEARDUP_PAIRS}) p
+),
+edges AS (
+  SELECT d1 AS u, d2 AS v FROM pairs
+  UNION ALL
+  SELECT d2 AS u, d1 AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+),
+toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+docs AS (
+  SELECT t.doc_id, COALESCE(l.component, t.doc_id) AS cluster, t.n_tokens
+  FROM toks t LEFT JOIN labels l ON t.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster) AS cs
+  FROM docs
+)
+SELECT doc_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       CAST(cs AS BIGINT) AS cluster_size,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
+FROM ranked
+ORDER BY doc_id
+""",
+)
+def doc_cluster_dedup(spark, sf_dir):
+    """The corpus-rewrite step that CLOSES the near-dup pipeline:
+    every document gets its near-dup cluster label (connected
+    components over the verified MinHash pair graph; singletons are
+    their own cluster) and a keep/drop decision — keep the LONGEST
+    doc per cluster, ties to the lowest doc_id (the standard
+    keep-best-representative policy; swap n_tokens for any quality
+    score without changing the shape).
+
+    Scale shape: the iterative part (components) touches only the
+    pair GRAPH (operators/graph.py pointer jumping, O(log diameter)
+    rounds); the corpus itself is touched exactly twice — once to
+    tokenize into (doc_id, n_tokens) and once conceptually as the
+    decision table join, both at doc grain. The per-cluster argmax
+    folds into a combinable ``max_by(doc_id, n_tokens*10^15 - doc_id)``
+    HashAggregate (a struct comparator would demote the pass to
+    SortAggregate — the events_ohlc lesson; the packed DECIMAL key
+    keeps fixed-width buffers, tie-exact for doc_id < 10^15), and the
+    winners relation (one row per cluster) joins back at doc grain.
+    The oracle reaches the same fixpoint via WITH RECURSIVE +
+    ROW_NUMBER.
+    """
+    pairs = _neardup_pairs(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(pairs, src="d1", dst="d2")
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id", F.size("w").cast("long").alias("n_tokens")
+    )
+    docs = (
+        toks.join(labels, toks.doc_id == labels.vertex, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster"),
+            "n_tokens",
+        )
+    )
+    okey = F.col("n_tokens").cast("decimal(38,0)") * 1_000_000_000_000_000 - F.col(
+        "doc_id"
+    )
+    best = docs.groupBy("cluster").agg(
+        F.max_by("doc_id", okey).alias("keep_doc"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        docs.join(best, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "cluster_size",
+            "n_tokens",
+            F.when(F.col("doc_id") == F.col("keep_doc"), 1)
+            .otherwise(0)
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_rarity",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+w AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY term) AS c
+  FROM tok WHERE term <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(MIN(c) AS BIGINT) AS min_tf,
+       ROUND(CAST(SUM(CAST(ROUND(1.0 / c, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_inv_freq
+FROM w
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_rarity(spark, sf_dir):
+    """Token-rarity quality proxy (the LM-free stand-in for CCNet's
+    perplexity filter): per document, the mean INVERSE corpus
+    frequency of its tokens, the hapax count, and the rarest token's
+    frequency — high mean-inverse-frequency flags gibberish/noise,
+    near-zero flags boilerplate.
+
+    Scale shape: corpus frequency is ``count().over(partitionBy
+    (term))`` — the corpus tokenizes and shuffles ONCE (the
+    doc_dup_ngram_coverage discipline; shuffle rows are (doc_id,
+    term)); the per-doc rollup is one combinable aggregate. Float
+    discipline: each token's 1/c divides identically in IEEE754 on
+    both engines, is rounded to 9dp, and accumulates as
+    DECIMAL(28,9) — an ORDER-FREE sum, so partial-aggregation order
+    can never flip the 6dp output (the emb_kmeans convention).
+    """
+    toks = (
+        _tokens(spark, sf_dir)
+        .select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    c = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    w = toks.select("doc_id", c.alias("c"))
+    inv = F.round(F.lit(1.0) / F.col("c"), 9).cast("decimal(28,9)")
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.min("c").alias("min_tf"),
+            F.round(
+                F.sum(inv).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_inv_freq"),
+        )
+        .orderBy("doc_id")
+    )
