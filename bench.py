@@ -54,6 +54,8 @@ PIPELINE_BENCH = [
     "emb_pq",
     "doc_chunk_dedup",
     "doc_dup_ngram_coverage",
+    "doc_pii_scrub",
+    "doc_pack_sequences",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -1695,3 +1695,230 @@ def doc_rarity(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+#: PII patterns — identical Java-regex / RE2 subset (no lookaround,
+#: no backrefs): character classes, bounded repetition, \b, \d only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{2}-\d{3}-\d{4}"
+
+#: DuckDB twin of the payload construction in doc_pii_scrub.
+_SQL_PII_PAYLOAD = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source"
+    " || '.org ip 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.7 call +44-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, {_SQL_PII_PAYLOAD} AS payload FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(payload, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(payload, '{PII_IP}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(payload, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(length(payload)
+            - length(regexp_replace(regexp_replace(regexp_replace(
+                payload, '{PII_EMAIL}', '', 'g'), '{PII_PHONE}', '', 'g'),
+                '{PII_IP}', '', 'g')) AS BIGINT) AS removed_chars
+FROM p
+ORDER BY doc_id
+""",
+)
+def doc_pii_scrub(spark, sf_dir):
+    """PII detection + redaction audit (the pre-training scrub pass:
+    emails, IPv4 addresses, phone numbers). The synthetic corpus
+    carries no organic PII, so the query first INJECTS a
+    deterministic, column-derived PII suffix into every document
+    (inject-then-scrub — the standard way to make a scrubber's oracle
+    non-vacuous), then counts matches per category and measures the
+    characters a full redaction removes.
+
+    Scale shape: a pure per-row regex expression pipeline — zero
+    shuffles, whole-stage codegen end-to-end, embarrassingly parallel
+    at any corpus size. The regexes are written in the Java-regex /
+    RE2 common subset so Spark and DuckDB agree match-for-match.
+    Reference analog: per-row projection discipline of
+    ColumnarConditionProjectExec (operators/projection.py)."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".org ip 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.7 call +44-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    p = d.select("doc_id", payload.alias("payload"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("payload"), PII_EMAIL, ""),
+            PII_PHONE,
+            "",
+        ),
+        PII_IP,
+        "",
+    )
+    return p.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("payload", F.lit(PII_EMAIL), 0))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all("payload", F.lit(PII_IP), 0))
+        .cast("long")
+        .alias("n_ip"),
+        F.size(F.regexp_extract_all("payload", F.lit(PII_PHONE), 0))
+        .cast("long")
+        .alias("n_phone"),
+        (F.length("payload") - F.length(scrubbed)).cast("long").alias("removed_chars"),
+    ).orderBy("doc_id")
+
+
+#: Sequence-packing context budget (tokens) and shard fan-out.
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+@query(
+    "doc_pack_sequences",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, doc_id % {PACK_SHARDS} AS shard, doc_id,
+         len(string_split(text, ' ')) AS tok
+  FROM documents
+),
+c AS (
+  SELECT lang, shard, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM d
+)
+SELECT lang, shard,
+       CAST(FLOOR((cum - tok) / {PACK_BUDGET}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM c
+GROUP BY lang, shard, bin
+ORDER BY lang, shard, bin
+""",
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches (concatenate-and-chunk):
+    documents are laid end-to-end in a deterministic order within each
+    (lang, shard) stream and assigned to the fixed-token-budget bin
+    their START offset falls in — the vocabulary-free version of
+    packing examples into context windows. Reports per-bin document
+    count, token fill, and the first document (for reproducible batch
+    manifests).
+
+    Scale shape: ONE shuffle on (lang, shard) for the running-total
+    window, then a combinable rollup. The shard key (doc_id mod
+    PACK_SHARDS) bounds every window partition to corpus/|langs|/
+    PACK_SHARDS rows — at 100 TB raise PACK_SHARDS so each stream
+    fits an executor; packing stays deterministic because membership
+    is a pure function of (lang, doc_id), never of layout. Greedy
+    start-offset assignment is order-exact in both engines (BIGINT
+    arithmetic only)."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("tok").over(w))
+    return (
+        c.select(
+            "lang",
+            "shard",
+            F.floor((F.col("cum") - F.col("tok")) / PACK_BUDGET)
+            .cast("long")
+            .alias("bin"),
+            "doc_id",
+            "tok",
+        )
+        .groupBy("lang", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "shard", "bin")
+    )
+
+
+#: Per-language keep rates (per-mille) — the low-resource-upsampling
+#: mixture: keep all zh, downsample abundant en hardest.
+MIX_RATES = {"en": 500, "de": 800, "es": 900, "fr": 700, "zh": 1000}
+
+
+@query(
+    "doc_mixture_sample",
+    oracle=f"""
+WITH d AS (
+  SELECT lang, n_chars,
+         CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 800 WHEN 'es' THEN 900
+                   WHEN 'fr' THEN 700 ELSE 1000 END AS rate,
+         {sql_md5h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       CAST(MIN(rate) AS BIGINT) AS rate_permille
+FROM d
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def doc_mixture_sample(spark, sf_dir):
+    """Deterministic weighted mixture sampling: each language keeps a
+    target per-mille of its documents (upsample-the-tail mixture
+    weights) decided by a salted portable hash of the key — so the
+    sampled corpus is identical across runs, engines, and cluster
+    sizes, and any worker can recompute membership without a
+    manifest. Audits achieved counts/chars per language.
+
+    Scale shape: membership is a per-row expression (zero shuffles);
+    the audit is one combinable 5-group aggregate. The hash is salted
+    ('mix:' prefix) so this draw is INDEPENDENT of doc_train_split's
+    — composing pipeline stages never correlates their samples."""
+    d = t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", MIX_RATES["en"])
+        .when(F.col("lang") == "de", MIX_RATES["de"])
+        .when(F.col("lang") == "es", MIX_RATES["es"])
+        .when(F.col("lang") == "fr", MIX_RATES["fr"])
+        .otherwise(MIX_RATES["zh"])
+    )
+    bucket = F.pmod(
+        md5h60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    keep = F.col("bucket") < F.col("rate")
+    return (
+        d.select("lang", "n_chars", rate.alias("rate"), bucket.alias("bucket"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+            F.min("rate").cast("long").alias("rate_permille"),
+        )
+        .orderBy("lang")
+    )

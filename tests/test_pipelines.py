@@ -324,3 +324,65 @@ def test_doc_dup_ngram_coverage_bruteforce(spark):
         assert r.dup_shingles == per_doc_dup.get(r.doc_id, 0), r
         assert 0.0 <= r.dup_coverage <= 1.0
         assert r.dup_shingles <= r.n_shingles
+
+
+def test_pii_scrub_injected_and_plan(spark):
+    """Inject-then-scrub invariants: every document carries at least
+    the one injected email/IP/phone, redaction removes at least the
+    injected characters, and the plan is a pure per-row expression
+    pipeline (no join, no Python)."""
+    rows = QUERIES["doc_pii_scrub"](spark, SF_MED).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_email >= 1 and r.n_ip >= 1 and r.n_phone >= 1
+        # shortest possible injected PII: a@b.cc (6) + 10.0.0.7 (8)
+        # + +44-555-0000 (12)
+        assert r.removed_chars >= 6 + 8 + 12
+    plan = _plan(spark, "doc_pii_scrub")
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_pack_sequences_vs_bruteforce(spark):
+    """Packing equals a per-(lang, shard) greedy fold recomputed in
+    Python: docs laid end-to-end in doc_id order, each assigned to the
+    bin its start offset falls in."""
+    from gazelle_plugin_spark.plans.text_pipeline import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_MED}/documents.parquet")
+        .select("lang", "doc_id", F.size(F.split("text", " ")).alias("tok"))
+        .collect()
+    )
+    expect: dict[tuple, list] = {}
+    streams: dict[tuple, int] = {}
+    for r in sorted(docs, key=lambda r: (r.lang, r.doc_id % PACK_SHARDS, r.doc_id)):
+        key = (r.lang, r.doc_id % PACK_SHARDS)
+        start = streams.get(key, 0)
+        streams[key] = start + r.tok
+        expect.setdefault(key + (start // PACK_BUDGET,), []).append(r)
+    got = QUERIES["doc_pack_sequences"](spark, SF_MED).collect()
+    assert len(got) == len(expect)
+    for row in got:
+        members = expect[(row.lang, row.shard, row.bin)]
+        assert row.n_docs == len(members)
+        assert row.bin_tokens == sum(m.tok for m in members)
+        assert row.first_doc == min(m.doc_id for m in members)
+
+
+def test_mixture_sample_rates(spark):
+    """Mixture-sampling invariants: kept counts never exceed totals,
+    a rate-1000 language keeps every document, and membership is a
+    pure hash (zero joins in the plan)."""
+    from gazelle_plugin_spark.plans.text_pipeline import MIX_RATES
+
+    rows = {r.lang: r for r in QUERIES["doc_mixture_sample"](spark, SF_MED).collect()}
+    for lang, r in rows.items():
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.rate_permille == MIX_RATES.get(lang, 1000)
+    assert rows["zh"].n_kept == rows["zh"].n_docs
+    plan = _plan(spark, "doc_mixture_sample")
+    assert "Join" not in plan, plan
