@@ -95,3 +95,79 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds"
         )
     return labels.select(F.col("vertex"), F.col("lbl").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 3,
+    damping: float = 0.85,
+    init_rank: float = 0.04,
+    teleport: float = 0.006,
+) -> DataFrame:
+    """Weighted PageRank over ``edges`` with a FIXED iteration count
+    (no convergence probe), returning ``(vertex, pr)``.
+
+    Fixed iterations keep the whole computation a deterministic,
+    oracle-able dataflow: the caller supplies ``init_rank`` (1/|V|)
+    and ``teleport`` ((1-damping)/|V|) as LITERALS so both engines of
+    a cross-engine compare parse the identical double. Float
+    discipline (the emb_kmeans convention): each edge contribution
+    ``round(pr * w / out_w, 12)`` accumulates as DECIMAL(38,12) — an
+    order-free sum — and ranks re-round to 12dp per iteration, so
+    partial-aggregation order can never flip the result.
+
+    Scale posture: the edge list aggregates ONCE and is
+    localCheckpoint'ed (lineage cut — iteration N must not replay the
+    corpus-sized join that built the graph; CC precedent above). Each
+    round shuffles only O(|E|) contribution rows; the O(|V|) rank
+    table is BROADCAST each round (vertex sets up to ~100M rows fit a
+    few GB; beyond that swap the two broadcasts for co-partitioned
+    joins on vertex — same dataflow, one extra shuffle per round).
+    Integral weights keep out-degree sums exact at any width.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    ow = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = e.join(ow, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("vertex"))
+        .union(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("pr", F.lit(float(init_rank)))
+    for _ in range(iters):
+        # checkpointed inputs have no stats (LogicalRDD defaults to
+        # "huge"), so the O(|V|) rank/contribution tables must be
+        # broadcast EXPLICITLY or every round plans a sort-merge join
+        contrib = (
+            ew.alias("E")
+            .join(F.broadcast(ranks.alias("R")), F.col("E.src") == F.col("R.vertex"))
+            .select(
+                F.col("E.dst").alias("cv"),
+                F.round(F.col("R.pr") * F.col("E.w") / F.col("E.out_w"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+        )
+        summed = contrib.groupBy("cv").agg(F.sum("c").cast("double").alias("s"))
+        ranks = (
+            nodes.alias("N")
+            .join(F.broadcast(summed.alias("S")), F.col("N.vertex") == F.col("S.cv"), "left")
+            .select(
+                F.col("N.vertex").alias("vertex"),
+                F.round(
+                    F.lit(float(teleport))
+                    + F.lit(float(damping))
+                    * F.coalesce(F.col("S.s"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+        )
+    return ranks

@@ -1090,3 +1090,55 @@ def events_ohlc(spark, sf_dir):
         )
         .orderBy("user_id", "hour_ts")
     )
+
+
+@query(
+    "events_decay",
+    oracle="""
+WITH d AS (
+  SELECT user_id, value, CAST(ts AS DATE) AS day FROM events
+),
+mx AS (SELECT MAX(day) AS maxd FROM d)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * power(0.5, date_diff('day', day, maxd)), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE), 6) AS decay_score
+FROM d, mx
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_decay(spark, sf_dir):
+    """Half-life-decayed engagement score per user: each event
+    contributes ``value * 0.5^age_days`` relative to the corpus's
+    newest day — the recency weighting a feature store / reward model
+    pipeline applies to interaction logs.
+
+    Scale shape: the global max-day is a 1-row aggregate BROADCAST
+    against the stream (the q11/q22 scalar-subquery pattern — never a
+    driver collect), decay terms are per-row expressions, and the
+    rollup is one combinable user_id aggregate. Float discipline:
+    0.5^n is exact in IEEE754 and value*decay is a single multiply —
+    identical bits on any engine; each term rounds to 9dp and sums as
+    DECIMAL(28,9) (order-free), so the 6dp score is stable at any
+    partitioning."""
+    e = events(spark, sf_dir).select(
+        "user_id", "value", F.to_date("ts").alias("day")
+    )
+    mx = e.agg(F.max("day").alias("maxd"))
+    term = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.round(
+            F.col("value") * F.pow(F.lit(0.5), F.datediff("maxd", "day")), 9
+        )
+        .cast("decimal(28,9)")
+        .alias("wv"),
+    )
+    return (
+        term.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("wv").cast("double"), 6).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )

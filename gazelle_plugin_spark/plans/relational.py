@@ -779,3 +779,160 @@ def rel_window_cntd(spark, sf_dir):
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "rel_merge_upsert",
+    oracle="""
+WITH delta AS (
+  SELECT o_orderkey AS d_key,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.10 AS DECIMAL(3,2))
+              AS DECIMAL(18,4)) AS d_price,
+         'U' AS d_status
+  FROM orders WHERE o_orderkey % 100 < 20
+  UNION ALL
+  SELECT o_orderkey + 10000000,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4)), 'N'
+  FROM orders WHERE o_orderkey % 100 >= 95
+),
+m AS (
+  SELECT CASE WHEN d.d_key IS NULL THEN 'keep'
+              WHEN b.o_orderkey IS NULL THEN 'insert'
+              ELSE 'update' END AS op,
+         COALESCE(d.d_price,
+                  CAST(CAST(b.o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4)))
+           AS price,
+         COALESCE(d.d_status, b.o_orderstatus) AS status
+  FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.d_key
+)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price) AS DOUBLE) AS total_price,
+       CAST(MIN(ascii(status)) AS INT) AS min_status_code
+FROM m GROUP BY op ORDER BY op
+""",
+)
+def rel_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics without a table format (SCD-1 snapshot
+    merge): a change set of updates (+10% reprice, status 'U') and
+    inserts (fresh keys, status 'N') full-outer-joins the base on the
+    key; latest-wins column coalescing classifies every output row as
+    keep / update / insert and the audit sums prove the merged values. The status audit folds to
+    MIN(ascii(status)) — an INT min keeps the rollup a mutable-buffer
+    HashAggregate (a string MIN demotes to SortAggregate).
+
+    Scale shape: ONE co-partitioned full-outer join on the merge key —
+    exactly the shuffle a real MERGE pays; at 100 TB bucket base and
+    delta by key to make it exchange-free, or broadcast the delta when
+    it is small (the common CDC case). Money stays DECIMAL through
+    the reprice and the sum (exact, order-free)."""
+    o = t(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 100 < 20).select(
+        F.col("o_orderkey").alias("d_key"),
+        (dec("o_totalprice") * F.lit("1.10").cast("decimal(3,2)"))
+        .cast("decimal(18,4)")
+        .alias("d_price"),
+        F.lit("U").alias("d_status"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 100 >= 95).select(
+        (F.col("o_orderkey") + 10000000).alias("d_key"),
+        dec("o_totalprice").cast("decimal(18,4)").alias("d_price"),
+        F.lit("N").alias("d_status"),
+    )
+    delta = upd.union(ins)
+    m = o.join(delta, o.o_orderkey == delta.d_key, "full_outer")
+    op = (
+        F.when(F.col("d_key").isNull(), "keep")
+        .when(F.col("o_orderkey").isNull(), "insert")
+        .otherwise("update")
+    )
+    return (
+        m.select(
+            op.alias("op"),
+            F.coalesce(
+                F.col("d_price"), dec("o_totalprice").cast("decimal(18,4)")
+            ).alias("price"),
+            F.coalesce(F.col("d_status"), F.col("o_orderstatus")).alias("status"),
+        )
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+            F.min(F.ascii("status")).alias("min_status_code"),
+        )
+        .orderBy("op")
+    )
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of operators.graph.pagerank over the
+    customer-nation -> supplier-nation trade graph."""
+    parts = [
+        """
+WITH e AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+nodes AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT vertex, CAST(0.04 AS DOUBLE) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+c{i} AS (SELECT e.dst AS cv,
+              CAST(SUM(CAST(ROUND(r.pr * e.w / ow.out_w, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS s
+       FROM e JOIN r{i - 1} r ON e.src = r.vertex JOIN ow ON e.src = ow.src
+       GROUP BY e.dst),
+r{i} AS (SELECT n.vertex, ROUND(0.006 + 0.85 * COALESCE(c.s, 0.0), 12) AS pr
+       FROM nodes n LEFT JOIN c{i} c ON n.vertex = c.cv)"""
+        )
+    parts.append(
+        f"""
+SELECT n_nationkey, n_name, r.pr AS pagerank
+FROM r{iters} r JOIN nation ON n_nationkey = r.vertex
+ORDER BY n_nationkey"""
+    )
+    return "".join(parts)
+
+
+@query("rel_trade_pagerank", oracle=_pagerank_sql(3))
+def rel_trade_pagerank(spark, sf_dir):
+    """PageRank over the customer-nation -> supplier-nation trade
+    graph (edge weight = lineitem count), 3 fixed iterations of
+    operators.graph.pagerank — the iterative-dataflow operator beyond
+    connected components, with a FULL hash oracle via unrolled CTEs
+    (the emb_kmeans loop-unroll discipline).
+
+    Scale shape: the corpus-sized work is the ONE edge aggregation
+    (lineitem joins orders on the fact key; customer/supplier dims
+    broadcast); iterations then run on the checkpointed O(|V|+|E|)
+    graph only and never replay the corpus. Contributions round to
+    12dp and sum as DECIMAL(38,12) — order-free, so any cluster width
+    produces bit-identical ranks."""
+    from gazelle_plugin_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(edges, iters=3, damping=0.85, init_rank=0.04, teleport=0.006)
+    return (
+        pr.join(F.broadcast(n), pr.vertex == n.n_nationkey)
+        .select("n_nationkey", "n_name", F.col("pr").alias("pagerank"))
+        .orderBy("n_nationkey")
+    )

@@ -380,3 +380,33 @@ def test_salted_join_spreads_hot_key(spark):
     n_buckets = left.withColumn("s", lsalt).select("s").distinct().count()
     assert n_buckets > 4  # 1000 distinct payloads spread over 8 salts
     assert salted_join(left, right, "k", "rk", salt=8).count() == 1000
+
+
+def test_merge_upsert_partitions_the_keyspace(spark):
+    """Merge audit invariants: keep/update/insert counts partition
+    (base + inserts) exactly by the key-mod rule, and the update
+    bucket's total is exactly 1.10x its base total (decimal-exact)."""
+    from decimal import Decimal
+
+    from gazelle_plugin_spark.plans import all_queries
+    from tests.conftest import SF_MED
+
+    rows = {
+        r.op: r for r in all_queries()["rel_merge_upsert"](spark, SF_MED).collect()
+    }
+    base = spark.read.parquet(f"{SF_MED}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = base.count()
+    n_upd = base.filter("o_orderkey % 100 < 20").count()
+    n_ins = base.filter("o_orderkey % 100 >= 95").count()
+    assert rows["update"].n_rows == n_upd
+    assert rows["insert"].n_rows == n_ins
+    assert rows["keep"].n_rows == n - n_upd
+    upd_base = sum(
+        Decimal(str(round(r.o_totalprice, 2)))
+        for r in base.filter("o_orderkey % 100 < 20").collect()
+    )
+    assert rows["update"].total_price == float(upd_base * Decimal("1.10"))
+    assert rows["insert"].min_status_code == ord("N")
+    assert rows["update"].min_status_code == ord("U")

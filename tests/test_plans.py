@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     # term relations
     "doc_tfidf_topterms",
     "doc_word_pmi",
+    # 1-row global max-day aggregate broadcast against the stream
+    "events_decay",
     # k broadcast centroid rows joined to every point (argmin over k)
     "emb_kmeans",
 }
