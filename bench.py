@@ -62,7 +62,17 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 def _time_one(spark, fn, sf_dir: str, reps: int = REPS):
-    """Median-of-reps wall time for one query, or an error string."""
+    """Median-of-reps wall time for one query, or an error string.
+
+    An explicit (untimed) JVM GC ahead of the reps keeps heap debt
+    from earlier queries out of this query's measurement — over an
+    80+-query session, deferred collections otherwise land inside a
+    random later query's reps and show up as a spurious 2-4x outlier
+    on ONE side (both sides of the compare run this same path)."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - a GC nudge is best-effort
+        pass
     times = []
     for _ in range(reps):
         start = time.perf_counter()

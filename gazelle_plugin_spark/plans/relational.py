@@ -936,3 +936,95 @@ def rel_trade_pagerank(spark, sf_dir):
         .select("n_nationkey", "n_name", F.col("pr").alias("pagerank"))
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "rel_bitmap_distinct",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+ORDER BY event_type
+""",
+)
+def rel_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via mergeable bitmaps — the 100 TB
+    COUNT(DISTINCT) pattern: bucket each key (bitmap_bucket_number /
+    bitmap_bit_position), build per-(group, bucket) bitmaps with
+    bitmap_construct_agg (map-side combinable), then count bits and
+    SUM. The all-groups total comes from bitmap_or_agg over the SAME
+    per-bucket bitmaps — no second scan, proving merge associativity.
+
+    Scale shape: unlike a naive COUNT DISTINCT (whose expand/
+    deduplicate shuffles every raw key), the shuffle carries one
+    fixed-width bitmap per (group, bucket); buckets cap bitmap size
+    so skewed groups split across buckets. The binary bitmap buffer
+    is immutable, so Spark plans SortAggregate — but the sort is
+    PER-PARTITION on (group, bucket) ahead of a still-combinable
+    partial aggregate; no global sort of the fact ever happens
+    (golden pins the shape). The oracle is DuckDB's
+    exact COUNT(DISTINCT) — bit-for-bit agreement, not an estimate."""
+    e = t(spark, sf_dir, "events").select("event_type", "user_id")
+    b = e.select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    per_bucket = b.groupBy("event_type", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+    overall = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return per_type.select("event_type", "n_users").union(overall).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "rel_hll_union",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_cntd,
+       TRUE AS est_in_5pct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+ORDER BY event_type
+""",
+)
+def rel_hll_union(spark, sf_dir):
+    """Mergeable APPROXIMATE distinct counting: one Datasketches HLL
+    sketch per group (hll_sketch_agg), the corpus total from
+    hll_union_agg over the per-group sketches — the re-aggregatable
+    rollup a 100 TB pipeline stores instead of raw keys (sketches
+    union across days/partitions; exact counts don't). The oracle
+    trick of rel_approx_agg: the exact count ships alongside and the
+    5%-bound check is a Spark-computed BOOLEAN, so DuckDB verifies
+    exact values + in-bound flags by hash.
+
+    Scale shape: the shuffle carries one ~4 KB sketch per group; the
+    total row unions SKETCHES (never re-reads the fact); the 1-row
+    exact-total aggregate joins by broadcast (q11 scalar pattern)."""
+    e = t(spark, sf_dir, "events").select("event_type", "user_id")
+    per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_cntd"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    in5 = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_cntd")) * 20
+        <= F.col("exact_cntd")
+    ).alias("est_in_5pct")
+    per_out = per.select("event_type", "exact_cntd", in5)
+    tot_exact = e.agg(F.countDistinct("user_id").alias("exact_cntd"))
+    tot_sk = per.agg(F.hll_union_agg("sk").alias("sk"))
+    tot = tot_exact.crossJoin(F.broadcast(tot_sk)).select(
+        F.lit("ALL").alias("event_type"), "exact_cntd", in5
+    )
+    return per_out.union(tot).orderBy("event_type")

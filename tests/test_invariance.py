@@ -37,6 +37,12 @@ def _rows(df):
         "rel_window_cntd",
         "doc_chunk_dedup",
         "events_ohlc",
+        # round 6 final adds: the packing window's running sums, the
+        # PageRank iteration's decimal contribution folds, and the
+        # decay score's 9dp accumulation must be layout-free
+        "doc_pack_sequences",
+        "rel_trade_pagerank",
+        "events_decay",
     ],
 )
 def test_result_invariant_to_shuffle_width(spark, name):

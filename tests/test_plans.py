@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "doc_word_pmi",
     # 1-row global max-day aggregate broadcast against the stream
     "events_decay",
+    # 1-row exact-total x 1-row union-sketch scalar combine
+    "rel_hll_union",
     # k broadcast centroid rows joined to every point (argmin over k)
     "emb_kmeans",
 }
