@@ -107,6 +107,13 @@ def _run_queries(spark, names, queries, sf_dir):
 #: remaining comparisons with it).
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "4g")
 
+#: An 84-query session compiles thousands of generated classes; the
+#: JVM's default 240 MB code cache fills mid-run and HotSpot silently
+#: stops JIT-compiling — later queries then run partially interpreted
+#: and show 2x+ one-sided "regressions" that vanish on a clean subset
+#: run. Both sides get the same enlarged cache.
+JVM_OPTS = "-XX:ReservedCodeCacheSize=512m"
+
 
 def _engine_session(cpus: str):
     from gazelle_plugin_spark import get_spark
@@ -115,7 +122,10 @@ def _engine_session(cpus: str):
         app_name="gazelle-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_confs={"spark.driver.memory": DRIVER_MEM},
+        extra_confs={
+            "spark.driver.memory": DRIVER_MEM,
+            "spark.driver.extraJavaOptions": JVM_OPTS,
+        },
     )
 
 
@@ -131,6 +141,7 @@ def _vanilla_session(cpus: str):
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", DRIVER_MEM)
+        .config("spark.driver.extraJavaOptions", JVM_OPTS)
         .getOrCreate()
     )
 
