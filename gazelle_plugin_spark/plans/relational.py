@@ -1095,3 +1095,92 @@ def rel_regression(spark, sf_dir):
             6,
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "rel_open_intervals",
+    oracle="""
+WITH j AS (
+  SELECT LEAST(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS sday,
+         GREATEST(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) + 1 AS eday
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deltas AS (
+  SELECT sday AS day, 1 AS d_open, 0 AS d_close FROM j
+  UNION ALL
+  SELECT eday, 0, 1 FROM j
+),
+per_day AS (
+  SELECT day, CAST(SUM(d_open) AS BIGINT) AS n_start,
+         CAST(SUM(d_close) AS BIGINT) AS n_end,
+         CAST(SUM(d_open) - SUM(d_close) AS BIGINT) AS net
+  FROM deltas GROUP BY day
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n_start, n_end,
+       CAST(SUM(net) OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_lines
+FROM per_day
+ORDER BY day
+""",
+)
+def rel_open_intervals(spark, sf_dir):
+    """Sweep-line interval counting: how many order lines are IN
+    FLIGHT (ordered, not yet shipped) on every calendar day. Each
+    interval becomes a +1 at its start and a -1 after its end; a
+    running sum over days yields the concurrent-open count — the
+    O(n) alternative to joining every interval against every day.
+
+    Scale shape: the corpus-sized work is the fact join and ONE
+    combinable day-grain rollup; the running sum's single-partition
+    window then runs over the DAY domain (bounded: ~365 rows/year
+    regardless of corpus size), so the classic global-window hazard
+    never touches fact-sized data. The same shape serves concurrent
+    sessions, open connections, and license-seat counting. (The few
+    synthetic lines shipping before their order date are clamped via
+    LEAST/GREATEST so every interval is well-formed.)"""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    od, sd = F.to_date("o_orderdate"), F.to_date("l_shipdate")
+    # LEAST/GREATEST clamp: the synthetic data ships a few lines
+    # BEFORE their order date; an unclamped sweep would go negative
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.least(od, sd).alias("sday"),
+        F.date_add(F.greatest(od, sd), 1).alias("eday"),
+    )
+    # one pass: each interval EXPLODES to its (+1, -1) event pair —
+    # a union of two projections would join the fact twice
+    deltas = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("sday").alias("day"),
+                    F.lit(1).alias("d_open"),
+                    F.lit(0).alias("d_close"),
+                ),
+                F.struct(
+                    F.col("eday").alias("day"),
+                    F.lit(0).alias("d_open"),
+                    F.lit(1).alias("d_close"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    from pyspark.sql import Window
+
+    per_day = (
+        deltas
+        .groupBy("day")
+        .agg(
+            F.sum("d_open").alias("n_start"),
+            F.sum("d_close").alias("n_end"),
+            (F.sum("d_open") - F.sum("d_close")).alias("net"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_start",
+        "n_end",
+        F.sum("net").over(w).alias("open_lines"),
+    ).orderBy("day")
