@@ -115,10 +115,32 @@ DRIVER_MEM = os.environ.get("SPARK_GRAFT_BENCH_MEM", "4g")
 JVM_OPTS = "-XX:ReservedCodeCacheSize=512m"
 
 
+def _check_jvm_opts(spark) -> None:
+    """Warn if the enlarged code cache did not take effect.
+
+    driver.extraJavaOptions only applies when this session launches the
+    process's FIRST JVM; if another JVM already started in-process (e.g.
+    the harness imported from pytest), the 512m setting is silently
+    ignored and the code-cache outlier problem returns undetected
+    (ADVICE round 6). Verify against the live JVM, not just the conf."""
+    try:
+        beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        args = beans.getRuntimeMXBean().getInputArguments()
+        live = any("ReservedCodeCacheSize=512m" in str(a) for a in args)
+    except Exception:  # noqa: BLE001 - introspection is best-effort
+        return
+    if not live:
+        print(
+            "WARNING: ReservedCodeCacheSize=512m not live in this JVM; "
+            "long-session timings may show code-cache outliers",
+            file=sys.stderr,
+        )
+
+
 def _engine_session(cpus: str):
     from gazelle_plugin_spark import get_spark
 
-    return get_spark(
+    spark = get_spark(
         app_name="gazelle-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
@@ -127,6 +149,8 @@ def _engine_session(cpus: str):
             "spark.driver.extraJavaOptions": JVM_OPTS,
         },
     )
+    _check_jvm_opts(spark)
+    return spark
 
 
 def _vanilla_session(cpus: str):
@@ -136,7 +160,7 @@ def _vanilla_session(cpus: str):
     side, see DRIVER_MEM.)"""
     from pyspark.sql import SparkSession
 
-    return (
+    spark = (
         SparkSession.builder.appName("vanilla-bench")
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
@@ -144,6 +168,8 @@ def _vanilla_session(cpus: str):
         .config("spark.driver.extraJavaOptions", JVM_OPTS)
         .getOrCreate()
     )
+    _check_jvm_opts(spark)
+    return spark
 
 
 def _worker(cpus: str, sf_dir: str) -> None:
@@ -322,6 +348,15 @@ def main() -> None:
     result["queries"] = timings
     if errors:
         result["errors"] = errors
+    if compare:
+        # LAST key on purpose: the driver keeps only the JSON tail, so
+        # per-query vanilla/engine ratios must survive truncation
+        # (round-6 verdict item 4). >1.0 = engine faster.
+        result["ratios"] = {
+            n: round(vtimings[n] / timings[n], 3)
+            for n in names
+            if timings.get(n) and vtimings.get(n)
+        }
     print(json.dumps(result))
 
 

@@ -1703,10 +1703,14 @@ PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\+\d{2}-\d{3}-\d{4}"
 
-#: DuckDB twin of the payload construction in doc_pii_scrub.
+#: DuckDB twin of the payload construction in doc_pii_scrub. The email
+#: domain is a FIXED literal (ex.org), not derived from the `source`
+#: column — a regenerated corpus with regex-hostile characters in
+#: source (e.g. underscores) must not silently break the n_email>=1
+#: invariant (ADVICE round 6).
 _SQL_PII_PAYLOAD = (
-    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source"
-    " || '.org ip 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@ex.org ip 10.' || CAST(doc_id % 200 AS VARCHAR)"
     " || '.0.7 call +44-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
 )
 
@@ -1749,9 +1753,7 @@ def doc_pii_scrub(spark, sf_dir):
         F.col("text"),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
-        F.lit("@"),
-        F.col("source"),
-        F.lit(".org ip 10."),
+        F.lit("@ex.org ip 10."),
         (F.col("doc_id") % 200).cast("string"),
         F.lit(".0.7 call +44-555-"),
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
