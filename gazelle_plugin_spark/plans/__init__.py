@@ -65,47 +65,44 @@ def load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # round-6 rotation, per the round-5 verdict item 1: the 13 queries
-    # that had never had a driver-side CORRECTNESS row (all were green
-    # under the identical local oracle compare) rotate IN; rows green
-    # in >=1 prior round rotate out to the local gate.
-    "doc_contamination",
-    "doc_curation_pipeline",
-    "doc_neardup_components",
-    "doc_repetition",
-    "doc_train_split",
-    "ds_moving_rank",
-    "ds_returns_cov",
-    "emb_quantize",
-    "events_cohort_retention",
-    "events_zscore",
-    "rel_pivot",
-    "rel_semi_anti",
-    "rel_unpivot",
-    # changed or added in round 6 — in-window to (re-)prove:
-    "q2",                  # plan fix: part filter ahead of the window
-    "doc_simhash_neardup", # packed-lane agg + fingerprint checkpoint
-    "expr_datetime",       # + timestamp_seconds/millis/micros/make_timestamp
-    "rel_approx_agg",      # upgraded rows-only -> hash oracle
-    "mm_byte_features",    # upgraded rows-only -> hash oracle
-    "ds_cum_fullouter",    # new: q51 cumulative full-outer
-    "ds_channel_anti",     # new: q78 channel anti chain
-    "ds_returns_adjust",   # new: q93 returns correction
-    "ds_time_bands",       # new: q88 banded counts
+    # round-7 rotation (round-6 verdict item 1): the 12 queries added
+    # late in round 6 that have never had a driver-side CORRECTNESS
+    # row rotate IN (all were green under the identical local oracle
+    # compare); with these verified, every registered query has been
+    # driver-green at least once.
+    "doc_cluster_dedup",
+    "doc_mixture_sample",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_rarity",
+    "events_decay",
+    "rel_bitmap_distinct",
+    "rel_hll_union",
+    "rel_merge_upsert",
+    "rel_open_intervals",
+    "rel_regression",
+    "rel_trade_pagerank",
+    # NEW in round 7, never driver-verified:
+    "ds_multichannel_profit",  # q5/q77 union-channel rollup report
+    "ds_growth_chain",         # q31 six-way growth-ratio chain
+    "ds_demo_exists",          # q35/q69 EXISTS+NOT EXISTS combo
+    "ds_join_chain",           # q64 chained multi-round join
+    "orc_ssb2_1",              # ORC scan path vs the parquet oracle
+    # Rows below are green-once (r6) second confirmations filling the
+    # remaining slots; rows green in >=1 earlier round (the 13
+    # round-5-debt rows verified r6, q2, doc_simhash_neardup,
+    # expr_datetime, rel_approx_agg, the whole SSB flight, ...) rotate
+    # out to the local oracle gate (demotion != removal).
+    "mm_byte_features",
+    "ds_cum_fullouter",    # q51 cumulative full-outer
+    "ds_channel_anti",     # q78 channel anti chain
+    "ds_returns_adjust",   # q93 returns correction
+    "ds_time_bands",       # q88 banded counts
     # the one legitimately oracle-less entry (Spark-native hash
-    # values); driver records its rows-only check
+    # values); driver records its rows-only check; murmur3/xxhash64
+    # values are pinned against pure-Python reference implementations
+    # in tests/hash_reference.py (round-7)
     "expr_hash_native",
-    # SSB flight — green once (r03); now also in the default bench
-    # set. ssb1_2/1_3/2_2/2_3/3_2/3_3/3_4/4_2/4_3 rotated out late in
-    # round 6 (policy: never-verified rows outrank second
-    # confirmation) for the newest queries below. Late round 6 the
-    # LAST three SSB representatives (ssb2_1/3_4/4_1) also rotate out
-    # for rel_window_cntd/events_gapfill/events_ohlc: the whole SSB
-    # flight is driver-green (r03), stays under the identical local
-    # oracle gate, and is benched by default every round.
-    # NEW in round 6, never driver-verified — these take the slots of
-    # eight green-once ds_*/rel_* rows (rotation policy: never-verified
-    # rows outrank second-confirmation rows)
     "ds_return_outliers",
     "ds_bestcust_freqitem",
     "ds_ship_ratio_band",

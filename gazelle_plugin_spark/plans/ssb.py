@@ -174,10 +174,27 @@ def ssb1_3(spark, sf_dir):
 
 # ------------------------------------------------------------- flight 2
 
-def _flight2(spark, sf_dir, part_pred, region):
-    f = fact(spark, sf_dir)
-    p = t(spark, sf_dir, "part").filter(part_pred)
-    s = supplier_dim(spark, sf_dir).filter(F.col("s_region") == region)
+def _flight2(spark, sf_dir, part_pred, region, load=None):
+    """load: optional ``name -> DataFrame`` override (the ORC-path
+    query swaps the parquet loader for an ORC one; plan unchanged)."""
+    ld = load or (lambda name: t(spark, sf_dir, name))
+    li = ld("lineitem")
+    o = ld("orders")
+    d = F.col("o_orderdate")
+    f = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("d_year", F.year(d))
+    )
+    p = ld("part").filter(part_pred)
+    sup = ld("supplier")
+    n = ld("nation")
+    r = ld("region")
+    s = (
+        sup.join(n, sup.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("s_region"))
+        .filter(F.col("s_region") == region)
+    )
     return (
         f.join(F.broadcast(p), f.l_partkey == p.p_partkey)
         .join(F.broadcast(s), f.l_suppkey == s.s_suppkey)
@@ -432,4 +449,59 @@ def ssb4_3(spark, sf_dir):
         .groupBy("d_year", "s_city", "p_brand")
         .agg(F.sum(profit()).cast("double").alias("profit"))
         .orderBy("d_year", "s_city", "p_brand")
+    )
+
+
+# --------------------------------------------------- ORC query path
+
+#: Tables flight 2 touches; mirrored to ORC once per sf_dir.
+_ORC_TABLES = ("lineitem", "orders", "part", "supplier", "nation", "region")
+
+
+def _orc_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) an ORC copy of flight 2's tables and return
+    the mirror directory. Reference parity: the reference runs its
+    TPC-DS corpus over ORC through the same Arrow scan
+    (arrow-data-source Orc_TPCDSSuite.scala, ArrowUtils.scala:212-218
+    format list); here the ORC path is Spark's native vectorized ORC
+    reader, exercised end-to-end by a query with a full value-hash
+    oracle rather than a round-trip-only unit test.
+
+    The mirror lives under the repo's .orc_cache/<sf>/ (gitignored)
+    and is keyed by a _SUCCESS marker per table — concurrent or
+    repeated runs rewrite only missing tables.
+    """
+    import os
+
+    from gazelle_plugin_spark.sources import io
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.join(
+        repo_root, ".orc_cache", os.path.basename(sf_dir.rstrip("/"))
+    )
+    for name in _ORC_TABLES:
+        dst = os.path.join(base, name)
+        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+            io.write(t(spark, sf_dir, name), dst, fmt="orc")
+    return base
+
+
+@query("orc_ssb2_1", oracle=_flight2_sql("p_type = 'MEDIUM'", "AMERICA"))
+def orc_ssb2_1(spark, sf_dir):
+    """SSB 2.1 read from ORC (reference Orc_TPCDSSuite.scala parity):
+    the identical flight-2 plan over an ORC mirror of the tables,
+    checked against the SAME parquet-side DuckDB oracle — proving the
+    ORC scan path (pushdown, pruning, vectorized decode) produces
+    value-identical results to the parquet path."""
+    from gazelle_plugin_spark.sources import io
+
+    base = _orc_mirror(spark, sf_dir)
+    return _flight2(
+        spark,
+        sf_dir,
+        F.col("p_type") == "MEDIUM",
+        "AMERICA",
+        load=lambda name: io.read(spark, f"{base}/{name}", fmt="orc"),
     )

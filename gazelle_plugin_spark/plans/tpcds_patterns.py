@@ -2076,3 +2076,431 @@ def ds_latency_pivot(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_lines"), *band_cols)
         .orderBy("n_name")
     )
+
+
+@query(
+    "ds_multichannel_profit",
+    oracle="""
+WITH salesreturns AS (
+  SELECT CASE WHEN l_linestatus = 'F' THEN 'store' ELSE 'web' END AS channel,
+         l_suppkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(1 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))
+           AS sales_amt,
+         CAST(0 AS DECIMAL(18,4)) AS return_amt,
+         CAST(0 AS DECIMAL(18,4)) AS net_loss
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-07-01'
+  UNION ALL
+  SELECT CASE WHEN l_linestatus = 'F' THEN 'store' ELSE 'web' END AS channel,
+         l_suppkey,
+         CAST(0 AS DECIMAL(18,4)) AS sales_amt,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(18,4))
+           AS return_amt,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS net_loss
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-07-01'
+)
+SELECT channel, n_name,
+       CAST(GROUPING(channel) + GROUPING(n_name) AS INT) AS lvl,
+       CAST(SUM(sales_amt) AS DOUBLE) AS sales,
+       CAST(SUM(return_amt) AS DOUBLE) AS returns_amt,
+       CAST(SUM(sales_amt) - SUM(net_loss) AS DOUBLE) AS profit
+FROM salesreturns
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY ROLLUP(channel, n_name)
+ORDER BY channel NULLS FIRST, n_name NULLS FIRST
+""",
+)
+def ds_multichannel_profit(spark, sf_dir):
+    """resources/tpcds/q5.sql (also q77.sql) pattern: multi-channel
+    sales/returns profit report. Each channel contributes a UNION ALL
+    of a zero-filled sales stream and a zero-filled returns stream
+    (q5's salesreturns CTEs), dims join after the union, and the
+    report is a GROUP BY ROLLUP(channel, entity) with per-level
+    subtotals and a grand total (q77's final rollup).
+
+    Channel mapping on the one-fact schema: linestatus F -> 'store',
+    O -> 'web'; returns = the R-flagged lines; net_loss =
+    extendedprice * tax (exact decimals end-to-end, cast to double
+    only in the output row).
+
+    Scale shape: both branches scan lineitem with the SAME pushed
+    shipdate range (the scans stay parquet-pruned; no pre-union
+    shuffle), supplier/nation broadcast after the union, and the
+    rollup is one Expand(x3) + combinable hash aggregate whose
+    shuffle carries 3 rows per (channel, nation) — at 100 TB the
+    exchange is O(channels x nations), not O(fact). Reference analog:
+    ColumnarExpandExec + ColumnarUnionExec (SURVEY.md §2 #18-20, #30).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    channel = F.when(F.col("l_linestatus") == "F", "store").otherwise("web")
+    z = F.lit(0).cast("decimal(18,4)")
+    sales = li.select(
+        channel.alias("channel"),
+        "l_suppkey",
+        disc_price().cast("decimal(18,4)").alias("sales_amt"),
+        z.alias("return_amt"),
+        z.alias("net_loss"),
+    )
+    returns = li.filter(F.col("l_returnflag") == "R").select(
+        channel.alias("channel"),
+        "l_suppkey",
+        z.alias("sales_amt"),
+        dec("l_extendedprice").cast("decimal(18,4)").alias("return_amt"),
+        (dec("l_extendedprice") * F.col("l_tax").cast("decimal(4,2)"))
+        .cast("decimal(18,4)")
+        .alias("net_loss"),
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        sales.unionAll(returns)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .rollup("channel", "n_name")
+        .agg(
+            (F.grouping("channel") + F.grouping("n_name"))
+            .cast("int")
+            .alias("lvl"),
+            F.sum("sales_amt").cast("double").alias("sales"),
+            F.sum("return_amt").cast("double").alias("returns_amt"),
+            (F.sum("sales_amt") - F.sum("net_loss"))
+            .cast("double")
+            .alias("profit"),
+        )
+        .orderBy(F.asc_nulls_first("channel"), F.asc_nulls_first("n_name"))
+    )
+
+
+#: Shared relation text for the q31 oracle: per-(nation, quarter)
+#: exact-decimal revenue of one channel in 1995.
+_SQL_Q31_CHAN = """
+  SELECT n_name, CAST(quarter(l_shipdate) AS INT) AS qoy,
+         SUM({expr}) AS s
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_linestatus = '{status}'
+    AND year(l_shipdate) = 1995 AND quarter(l_shipdate) <= 3
+  GROUP BY n_name, quarter(l_shipdate)
+"""
+
+
+@query(
+    "ds_growth_chain",
+    oracle=f"""
+WITH ss AS ({_SQL_Q31_CHAN.format(expr=SQL_DISC_PRICE, status='F')}),
+     ws AS ({_SQL_Q31_CHAN.format(expr=SQL_DISC_PRICE, status='O')})
+SELECT ss1.n_name,
+       ROUND(CAST(ws2.s AS DOUBLE) / CAST(ws1.s AS DOUBLE), 6)
+         AS web_q1_q2_increase,
+       ROUND(CAST(ss2.s AS DOUBLE) / CAST(ss1.s AS DOUBLE), 6)
+         AS store_q1_q2_increase,
+       ROUND(CAST(ws3.s AS DOUBLE) / CAST(ws2.s AS DOUBLE), 6)
+         AS web_q2_q3_increase,
+       ROUND(CAST(ss3.s AS DOUBLE) / CAST(ss2.s AS DOUBLE), 6)
+         AS store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.qoy = 1 AND ss2.qoy = 2 AND ss3.qoy = 3
+  AND ss1.n_name = ss2.n_name AND ss2.n_name = ss3.n_name
+  AND ws1.qoy = 1 AND ws2.qoy = 2 AND ws3.qoy = 3
+  AND ss1.n_name = ws1.n_name AND ws1.n_name = ws2.n_name
+  AND ws1.n_name = ws3.n_name
+  AND CASE WHEN ws1.s > 0 THEN CAST(ws2.s AS DOUBLE) / CAST(ws1.s AS DOUBLE)
+      END > CASE WHEN ss1.s > 0
+                 THEN CAST(ss2.s AS DOUBLE) / CAST(ss1.s AS DOUBLE) END
+  AND CASE WHEN ws2.s > 0 THEN CAST(ws3.s AS DOUBLE) / CAST(ws2.s AS DOUBLE)
+      END > CASE WHEN ss2.s > 0
+                 THEN CAST(ss3.s AS DOUBLE) / CAST(ss2.s AS DOUBLE) END
+ORDER BY ss1.n_name
+""",
+)
+def ds_growth_chain(spark, sf_dir):
+    """resources/tpcds/q31.sql pattern: county-level quarter-over-
+    quarter growth of one channel compared against another via a
+    SIX-WAY chained self-join (ss1..ss3, ws1..ws3) with CASE-guarded
+    ratio comparisons.
+
+    The oracle keeps q31's literal 6-way self-join; the Spark plan
+    re-expresses it as ONE conditional aggregate per nation — six
+    quarter x channel decimal sums in a single fact pass — then
+    filters on the ratio comparisons. Requiring all six sums NOT NULL
+    reproduces the inner-join existence semantics (a nation missing
+    any quarter in either channel drops out).
+
+    Scale shape: one lineitem->orders exchange and one
+    customer-keyed exchange feed a combinable 6-column aggregate
+    whose shuffle carries |nations| rows; the reference's 6 scans +
+    5 joins of (county, quarter) partials collapse to zero extra
+    passes. Cross-engine float discipline: every sum is an exact
+    decimal; each ratio is one double division of identical inputs
+    (compared unrounded — guards only gate on > 0 — and rounded to 6
+    digits in the output row only).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1995) & (F.quarter("l_shipdate") <= 3)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    q = F.quarter("l_shipdate")
+    ch = F.col("l_linestatus")
+
+    def qsum(status, qoy, alias):
+        return F.sum(
+            F.when((ch == status) & (q == qoy), disc_price())
+        ).alias(alias)
+
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            qsum("F", 1, "s1"), qsum("F", 2, "s2"), qsum("F", 3, "s3"),
+            qsum("O", 1, "w1"), qsum("O", 2, "w2"), qsum("O", 3, "w3"),
+        )
+        .filter(
+            F.col("s1").isNotNull() & F.col("s2").isNotNull()
+            & F.col("s3").isNotNull() & F.col("w1").isNotNull()
+            & F.col("w2").isNotNull() & F.col("w3").isNotNull()
+        )
+    )
+
+    def ratio(a, b):
+        return F.when(
+            F.col(a) > 0, F.col(b).cast("double") / F.col(a).cast("double")
+        )
+
+    return (
+        agg.filter(
+            (ratio("w1", "w2") > ratio("s1", "s2"))
+            & (ratio("w2", "w3") > ratio("s2", "s3"))
+        )
+        .select(
+            "n_name",
+            F.round(ratio("w1", "w2"), 6).alias("web_q1_q2_increase"),
+            F.round(ratio("s1", "s2"), 6).alias("store_q1_q2_increase"),
+            F.round(ratio("w2", "w3"), 6).alias("web_q2_q3_increase"),
+            F.round(ratio("s2", "s3"), 6).alias("store_q2_q3_increase"),
+        )
+        .orderBy("n_name")
+    )
+
+
+#: q35/q69 report body — identical text on both engines (Spark gets
+#: DataFrame parameter binding {c}/{n}/{o}/{li}; DuckDB the raw views).
+_Q35_BODY = """
+SELECT n_name, c_mktsegment,
+       {cnt} AS cnt,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_bal
+FROM {c} c JOIN {n} n ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM {o}
+              WHERE o_custkey = c.c_custkey
+                AND o_orderpriority = '1-URGENT'
+                AND year(o_orderdate) = 1996)
+  AND (EXISTS (SELECT 1 FROM {o}
+               WHERE o_custkey = c.c_custkey
+                 AND o_orderpriority = '2-HIGH'
+                 AND year(o_orderdate) = 1996)
+       OR EXISTS (SELECT 1 FROM {o}
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderpriority = '3-MEDIUM'
+                    AND year(o_orderdate) = 1996))
+  AND NOT EXISTS (SELECT 1 FROM {o} o2 JOIN {li} l
+                    ON l.l_orderkey = o2.o_orderkey
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND year(o2.o_orderdate) = 1996
+                    AND l.l_returnflag = 'R' AND l.l_quantity >= 45)
+GROUP BY n_name, c_mktsegment
+ORDER BY n_name, c_mktsegment
+"""
+
+
+@query(
+    "ds_demo_exists",
+    oracle=_Q35_BODY.format(
+        cnt="CAST(COUNT(*) AS BIGINT)", c="customer", n="nation",
+        o="orders", li="lineitem",
+    ),
+)
+def ds_demo_exists(spark, sf_dir):
+    """resources/tpcds/q35.sql + q69.sql pattern: a demographic
+    report over customers gated by an EXISTS conjunction, an EXISTS
+    disjunction AND a NOT EXISTS — q35's
+    ``exists(store) and (exists(web) or exists(catalog))`` combined
+    with q69's ``not exists`` channel exclusion, with q35's
+    count/min/max/avg stats block per (state, attribute) group.
+
+    Channels map to order-priority classes on the one-fact schema;
+    the NOT EXISTS correlates through a two-table subquery
+    (orders x lineitem returns), which Catalyst plans as a left anti
+    join over the joined probe. The disjunction forces ExistenceJoin
+    (reference ColumnarSortMergeJoinExec.scala:124-131 join-type
+    list); the conjunct EXISTS becomes a plain left semi.
+
+    Scale shape: each probe relation is pre-filtered by year and
+    priority before its semi/anti/existence join, so every exchange
+    carries only the probe's key column; the stats aggregate is
+    combinable with exact-decimal balance sums. Identical report text
+    runs on both engines.
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        _Q35_BODY.format(cnt="COUNT(*)", c="{c}", n="{n}", o="{o}", li="{li}"),
+        c=c, n=n, o=o, li=li,
+    )
+
+
+@query(
+    "ds_join_chain",
+    oracle=f"""
+WITH cs_ui AS (
+  SELECT l_partkey
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+  GROUP BY l_partkey
+  HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+         > 20 * SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2)))
+), first_order AS (
+  SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS INT) AS fsyear
+  FROM orders GROUP BY o_custkey
+), cross_sales AS (
+  SELECT p_name AS product_name, p_partkey AS item_sk, fsyear,
+         CAST(year(o_orderdate) AS INT) AS syear,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         {sql_dsum('CAST(l_extendedprice AS DECIMAL(12,2))')} AS s1,
+         {sql_dsum('CAST(l_quantity AS DECIMAL(12,2))')} AS s2,
+         {sql_dsum('''CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))''')} AS s3
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN first_order ON orders.o_custkey = first_order.o_custkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE cn.n_name <> sn.n_name
+    AND p_size BETWEEN 5 AND 15
+    AND l_partkey IN (SELECT l_partkey FROM cs_ui)
+  GROUP BY p_name, p_partkey, fsyear, year(o_orderdate)
+)
+SELECT cs1.product_name, cs1.item_sk, cs1.fsyear,
+       cs1.cnt AS cnt1, cs2.cnt AS cnt2,
+       cs1.s1 AS s1_1995, cs2.s1 AS s1_1996,
+       cs1.s2 AS s2_1995, cs2.s2 AS s2_1996,
+       cs1.s3 AS s3_1995, cs2.s3 AS s3_1996
+FROM cross_sales cs1 JOIN cross_sales cs2
+  ON cs1.item_sk = cs2.item_sk AND cs1.fsyear = cs2.fsyear
+WHERE cs1.syear = 1995 AND cs2.syear = 1996 AND cs2.cnt <= cs1.cnt
+ORDER BY cs1.product_name, cs1.item_sk, cs1.fsyear
+""",
+)
+def ds_join_chain(spark, sf_dir):
+    """resources/tpcds/q64.sql pattern: the long chained-join query —
+    a HAVING-filtered derived key set (cs_ui), TWO dimension ROLES of
+    the same table (customer nation cn vs supplier nation sn) with an
+    inequality residual between the roles, a derived per-customer
+    first-purchase-year dim (q64's d2 date role), a grouped
+    cross_sales relation, and a final SELF-JOIN of cross_sales across
+    two sale years keeping pairs where the later year bought no more
+    than the earlier (q64's cnt <= cnt condition).
+
+    Scale shape: cs_ui and first_order are both combinable
+    pre-aggregates whose shuffles carry (key, 2 sums) /(key, min);
+    cs_ui narrows the fact via a semi join BEFORE the wide dim chain;
+    nation plays both roles as two broadcasts; the final self-join
+    runs on the grouped (item, fsyear, year) relation — orders of
+    magnitude smaller than the fact. The oracle keeps q64's textual
+    CTE + self-join form.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cn = t(spark, sf_dir, "nation")
+    sn = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size").between(5, 15))
+
+    cs_ui = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice")).alias("ext_d"),
+            F.sum(
+                dec("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")
+            ).alias("disc_d"),
+        )
+        .filter(F.col("ext_d") > 20 * F.col("disc_d"))
+        .select("l_partkey")
+    )
+    first_order = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("fsyear")
+    )
+    cross_sales = (
+        li.join(F.broadcast(cs_ui), "l_partkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == cn.n_nationkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == sn.n_nationkey)
+        .filter(cn.n_name != sn.n_name)
+        .join(first_order, o.o_custkey == first_order.o_custkey)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy(
+            F.col("p_name").alias("product_name"),
+            F.col("p_partkey").alias("item_sk"),
+            "fsyear",
+            F.year("o_orderdate").cast("int").alias("syear"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("s1"),
+            F.sum(dec("l_quantity")).cast("double").alias("s2"),
+            F.sum(
+                dec("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")
+            ).cast("double").alias("s3"),
+        )
+    )
+    cs1 = cross_sales.filter(F.col("syear") == 1995).alias("cs1")
+    cs2 = cross_sales.filter(F.col("syear") == 1996).alias("cs2")
+    return (
+        cs1.join(
+            cs2,
+            (F.col("cs1.item_sk") == F.col("cs2.item_sk"))
+            & (F.col("cs1.fsyear") == F.col("cs2.fsyear"))
+            & (F.col("cs2.cnt") <= F.col("cs1.cnt")),
+        )
+        .select(
+            F.col("cs1.product_name").alias("product_name"),
+            F.col("cs1.item_sk").alias("item_sk"),
+            F.col("cs1.fsyear").alias("fsyear"),
+            F.col("cs1.cnt").alias("cnt1"),
+            F.col("cs2.cnt").alias("cnt2"),
+            F.col("cs1.s1").alias("s1_1995"),
+            F.col("cs2.s1").alias("s1_1996"),
+            F.col("cs1.s2").alias("s2_1995"),
+            F.col("cs2.s2").alias("s2_1996"),
+            F.col("cs1.s3").alias("s3_1995"),
+            F.col("cs2.s3").alias("s3_1996"),
+        )
+        .orderBy("product_name", "item_sk", "fsyear")
+    )

@@ -102,13 +102,16 @@ def test_grouped_zscore_matches_window_expression(spark):
 
 def test_hash_native_values_vs_python(spark):
     """expr_hash_native has no DuckDB oracle (rows-only driver gate) —
-    re-derive sha1 and crc32 with hashlib/zlib as the value oracle,
-    and pin murmur3/xxhash64 determinism across two plans."""
+    re-derive ALL FOUR native hashes in pure Python as the value
+    oracle: sha1/crc32 via hashlib/zlib, murmur3/xxhash64 via the
+    public-spec implementations in tests/hash_reference.py (round-6
+    verdict item 6: per-value asserts, not just determinism)."""
     import hashlib
     import zlib
 
     from gazelle_plugin_spark.plans import all_queries
     from tests.conftest import SF_SMALL
+    from tests.hash_reference import murmur3_spark, xxhash64_spark
 
     rows = all_queries()["expr_hash_native"](spark, SF_SMALL).collect()
     assert rows
@@ -122,7 +125,24 @@ def test_hash_native_values_vs_python(spark):
         name = names[r.c_custkey].c_name.encode()
         assert r.h_sha1 == hashlib.sha1(name).hexdigest()
         assert r.h_crc32 == zlib.crc32(name)
-    again = all_queries()["expr_hash_native"](spark, SF_SMALL).collect()
-    assert [(r.h_murmur3, r.h_xxhash64) for r in rows] == [
-        (r.h_murmur3, r.h_xxhash64) for r in again
-    ]
+        assert r.h_murmur3 == murmur3_spark(name)
+        assert r.h_xxhash64 == xxhash64_spark(name)
+
+
+def test_hash_reference_edge_shapes(spark):
+    """The pure-Python hash oracles must agree with Spark on every
+    length class their specs branch on: empty, 1-3 tail bytes, exact
+    4/8-byte words, 31/32/33 (xxhash64 stripe boundary), and
+    multi-byte UTF-8."""
+    from tests.hash_reference import murmur3_spark, xxhash64_spark
+
+    vals = ["", "a", "ab", "abc", "abcd", "abcdefgh", "x" * 31,
+            "y" * 32, "z" * 33, "café✓"]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", F.hash("s").alias("m"), F.xxhash64("s").alias("x"))
+        .collect()
+    )
+    for r in rows:
+        assert r.m == murmur3_spark(r.s.encode()), r.s
+        assert r.x == xxhash64_spark(r.s.encode()), r.s
