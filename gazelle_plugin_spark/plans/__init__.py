@@ -87,6 +87,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ds_growth_chain",         # q31 six-way growth-ratio chain
     "ds_demo_exists",          # q35/q69 EXISTS+NOT EXISTS combo
     "ds_join_chain",           # q64 chained multi-round join
+    "ds_or_bands",             # q13/q48 disjunctive band residual
+    "ds_best_worst",           # q44 dual-end rank join
+    "expr_url",                # parse_url family vs regex oracle
     "orc_ssb2_1",              # ORC scan path vs the parquet oracle
     # Rows below are green-once (r6) second confirmations filling the
     # remaining slots; rows green in >=1 earlier round (the 13
@@ -103,9 +106,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # values are pinned against pure-Python reference implementations
     # in tests/hash_reference.py (round-7)
     "expr_hash_native",
-    "ds_return_outliers",
-    "ds_bestcust_freqitem",
-    "ds_ship_ratio_band",
     "ds_month_flag_pivot",
     "doc_quota_sample",
     "doc_tfidf_topterms",

@@ -484,3 +484,67 @@ def expr_map(spark, sf_dir):
             F.map_values(m), F.lit(0).cast("bigint"), lambda acc, v: acc + v
         ).alias("total"),
     ).orderBy("l_orderkey")
+
+
+#: URL payload injected per document (the corpus has no organic URLs;
+#: inject-then-parse, like doc_pii_scrub): deterministic, well-formed,
+#: column-derived. Both engines build the IDENTICAL string.
+_SQL_URL = (
+    "'https://' || source || '.example.com/docs/' || lang || '/'"
+    " || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&page='"
+    " || CAST(doc_id % 7 AS VARCHAR) || '#sec' || CAST(doc_id % 3 AS VARCHAR)"
+)
+
+
+@query(
+    "expr_url",
+    oracle=f"""
+SELECT doc_id,
+       regexp_extract(u, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(u, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(u, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(u, '[?]([^#]*)', 1) AS query,
+       regexp_extract(u, '[?&]page=([^&#]*)', 1) AS q_page,
+       regexp_extract(u, '#(.*)$', 1) AS fragment
+FROM (SELECT doc_id, {_SQL_URL} AS u FROM documents) p
+ORDER BY doc_id
+""",
+)
+def expr_url(spark, sf_dir):
+    """parse_url expression family (reference: the URL cases of
+    ColumnarExpressionConverter's string-expression support;
+    Spark-native parse_url is JVM-side codegen) — PROTOCOL / HOST /
+    PATH / QUERY / keyed QUERY / REF over an injected well-formed URL
+    column. DuckDB has no parse_url, so the oracle re-derives each
+    component with RE2-subset regexes over the identical string —
+    cross-engine agreement proves Spark's java.net.URI-based parsing
+    matches the grammar for well-formed URLs.
+
+    Scale shape: pure per-row projection, zero shuffles, codegen
+    end-to-end (the one ORDER BY is the driver-compare convention).
+    """
+    d = t(spark, sf_dir, "documents")
+    u = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    p = d.select("doc_id", u.alias("u"))
+    return p.select(
+        "doc_id",
+        F.parse_url("u", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("u", F.lit("HOST")).alias("host"),
+        F.parse_url("u", F.lit("PATH")).alias("path"),
+        F.parse_url("u", F.lit("QUERY")).alias("query"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("page")).alias("q_page"),
+        F.parse_url("u", F.lit("REF")).alias("fragment"),
+    ).orderBy("doc_id")

@@ -2504,3 +2504,158 @@ def ds_join_chain(spark, sf_dir):
         )
         .orderBy("product_name", "item_sk", "fsyear")
     )
+
+
+@query(
+    "ds_or_bands",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(l_quantity), 6) AS avg_qty,
+       {sql_dsum(SQL_DISC_PRICE)} AS sum_rev,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             / COUNT(o_totalprice), 6) AS avg_total
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE (c_mktsegment = 'BUILDING'
+         AND c_acctbal BETWEEN 1000 AND 5000
+         AND l_quantity BETWEEN 10 AND 30)
+   OR (c_mktsegment = 'MACHINERY'
+         AND c_acctbal BETWEEN 4000 AND 8000
+         AND l_quantity BETWEEN 20 AND 40)
+   OR (c_mktsegment = 'HOUSEHOLD'
+         AND c_acctbal BETWEEN 7000 AND 10000
+         AND l_quantity BETWEEN 30 AND 50)
+""",
+)
+def ds_or_bands(spark, sf_dir):
+    """resources/tpcds/q13.sql (also q48.sql, q85.sql) pattern: a
+    DISJUNCTION of multi-attribute band predicates spanning the fact
+    and a dimension — three (segment, balance-band, quantity-band)
+    triples OR'd together, then one global stats row. The optimizer
+    cannot push an OR that straddles the join, so the predicate stays
+    a post-join residual — exactly the shape q13 stresses.
+
+    Scale shape: customer attributes arrive via one key join (the
+    only fact exchange is lineitem->orders); the disjunction is a
+    single codegen'd filter, and the global aggregate is combinable
+    (partial rows carry 4 accumulators). Averages are exact decimal
+    sums divided by counts, rounded identically on both engines.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    band = (
+        (F.col("c_mktsegment") == "BUILDING")
+        & F.col("c_acctbal").between(1000, 5000)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("c_mktsegment") == "MACHINERY")
+        & F.col("c_acctbal").between(4000, 8000)
+        & F.col("l_quantity").between(20, 40)
+    ) | (
+        (F.col("c_mktsegment") == "HOUSEHOLD")
+        & F.col("c_acctbal").between(7000, 10000)
+        & F.col("l_quantity").between(30, 50)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double")
+                / F.count("l_quantity"),
+                6,
+            ).alias("avg_qty"),
+            F.sum(disc_price()).cast("double").alias("sum_rev"),
+            F.round(
+                F.sum(dec("o_totalprice", 14, 2)).cast("double")
+                / F.count("o_totalprice"),
+                6,
+            ).alias("avg_total"),
+        )
+    )
+
+
+@query(
+    "ds_best_worst",
+    oracle=f"""
+WITH perf AS (
+  SELECT l_partkey,
+         ROUND({sql_dsum(SQL_DISC_PRICE)}
+               / COUNT(*), 6) AS avg_rev
+  FROM lineitem
+  WHERE l_linestatus = 'F'
+  GROUP BY l_partkey
+), best AS (
+  SELECT l_partkey, avg_rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY avg_rev DESC, l_partkey)
+              AS INT) AS rnk
+  FROM perf
+), worst AS (
+  SELECT l_partkey, avg_rev,
+         CAST(ROW_NUMBER() OVER (ORDER BY avg_rev ASC, l_partkey)
+              AS INT) AS rnk
+  FROM perf
+)
+SELECT b.rnk, p1.p_name AS best_part, p2.p_name AS worst_part,
+       b.avg_rev AS best_avg, w.avg_rev AS worst_avg
+FROM best b
+JOIN worst w ON b.rnk = w.rnk
+JOIN part p1 ON b.l_partkey = p1.p_partkey
+JOIN part p2 ON w.l_partkey = p2.p_partkey
+WHERE b.rnk <= 10
+ORDER BY b.rnk
+""",
+)
+def ds_best_worst(spark, sf_dir):
+    """resources/tpcds/q44.sql pattern: best/worst performers ranked
+    from BOTH ends of one pre-aggregate — two ROW_NUMBER windows over
+    the same per-item relation (descending and ascending), joined on
+    rank position, item names resolved last.
+
+    Scale shape: ONE combinable per-item aggregate feeds both rank
+    branches; the rank<=10 filter fires Spark's WindowGroupLimit on
+    each branch (the reference's LocalWindowExec rank-pushdown
+    analog, OptimizerOverrides.scala:39-218), so only ~10 rows per
+    partition survive to the final sort; the name joins broadcast the
+    part dim and run on 10 rows. The deterministic
+    (avg_rev, partkey) tie-break keeps both engines' rankings
+    identical; avg_rev is rounded BEFORE ranking on both sides.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linestatus") == "F")
+    p = t(spark, sf_dir, "part")
+    perf = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(disc_price()).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_rev")
+        )
+    )
+    wb = Window.orderBy(F.desc("avg_rev"), F.asc("l_partkey"))
+    ww = Window.orderBy(F.asc("avg_rev"), F.asc("l_partkey"))
+    best = (
+        perf.withColumn("rnk", F.row_number().over(wb).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select(F.col("rnk"), F.col("l_partkey").alias("bk"),
+                F.col("avg_rev").alias("best_avg"))
+    )
+    worst = (
+        perf.withColumn("rnk", F.row_number().over(ww).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select(F.col("rnk").alias("wrnk"), F.col("l_partkey").alias("wk"),
+                F.col("avg_rev").alias("worst_avg"))
+    )
+    p1 = p.select(F.col("p_partkey").alias("bk"), F.col("p_name").alias("best_part"))
+    p2 = p.select(F.col("p_partkey").alias("wk"), F.col("p_name").alias("worst_part"))
+    return (
+        best.join(worst, best.rnk == worst.wrnk)
+        .join(F.broadcast(p1), "bk")
+        .join(F.broadcast(p2), "wk")
+        .select("rnk", "best_part", "worst_part", "best_avg", "worst_avg")
+        .orderBy("rnk")
+    )
