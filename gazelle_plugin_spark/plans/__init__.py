@@ -106,8 +106,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # values are pinned against pure-Python reference implementations
     # in tests/hash_reference.py (round-7)
     "expr_hash_native",
-    "ds_month_flag_pivot",
-    "doc_quota_sample",
+    "emb_semdedup",     # new r7: semantic dedup (cluster-bucketed)
+    "events_scd2",      # new r7: SCD-2 validity-interval history
     "doc_tfidf_topterms",
     "doc_word_pmi",
     "doc_hash_embed",

@@ -1142,3 +1142,87 @@ def events_decay(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_scd2",
+    oracle=_EVENTS_CTE
+    + """,
+ordered AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_change
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+runs AS (
+  SELECT user_id, ts_us, event_id, event_type,
+         CAST(SUM(is_change) OVER (PARTITION BY user_id
+              ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS INT)
+           AS version
+  FROM ordered
+),
+hist AS (
+  SELECT user_id, version, MIN(event_type) AS state,
+         MIN(ts_us) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       (lead(valid_from) OVER w2 IS NULL) AS is_current,
+       n_events
+FROM hist
+WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+ORDER BY user_id, version
+""",
+)
+def events_scd2(spark, sf_dir):
+    """SCD-2 dimension history build from a change stream — the
+    warehouse op that turns an event log into validity-interval
+    rows: consecutive equal states collapse into one version with
+    [valid_from, valid_to) bounds and an is_current flag on the open
+    tail. Complements rel_merge_upsert (SCD-1 overwrite): SCD-2
+    PRESERVES history. Classic gaps-and-islands change capture:
+    lag() marks state changes, a running sum numbers versions, one
+    group-by collapses runs, lead() closes each interval with the
+    next version's start.
+
+    Scale shape: ONE hash exchange on user_id serves all three
+    windows and the aggregate (same partitioning throughout — Spark
+    plans a single Exchange); state is per-user-bounded. The
+    deterministic (ts_us, event_id) sort key makes version numbering
+    identical across engines even for same-microsecond events.
+    """
+    e = events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("event_type").over(w)
+    ordered = e.select(
+        "user_id", "ts_us", "event_id", "event_type",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1)
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    runs = ordered.withColumn(
+        "version",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    hist = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts_us").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from").over(w2)
+    return (
+        hist.select(
+            "user_id", "version", "state", "valid_from",
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )

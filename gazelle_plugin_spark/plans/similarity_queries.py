@@ -771,3 +771,123 @@ def emb_pq(spark, sf_dir):
         .agg(*code_cols, F.sum("d2").cast("double").alias("pq_err"))
         .orderBy("vec_id")
     )
+
+
+#: SemDeDup drop threshold. The synthetic corpus has no planted
+#: near-identical vectors (max pairwise cosine ~0.51), so the
+#: threshold marks "semantically close" — the pipeline is identical
+#: to a production 0.95-threshold run.
+SEMDEDUP_COS = 0.30
+
+
+@query(
+    "emb_semdedup",
+    oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+dims AS (
+  SELECT label, i.i AS i, AVG(embedding[i.i]::DOUBLE) AS c
+  FROM v, UNNEST(generate_series(1, 64)) AS i(i)
+  GROUP BY label, i.i
+),
+cent AS (
+  SELECT label AS c_label, array_agg(ROUND(c, {SIM_DECIMALS}) ORDER BY i) AS ce
+  FROM dims GROUP BY label
+),
+assign AS (
+  SELECT vec_id, c_label, embedding, n2 FROM (
+    SELECT v.vec_id, c.c_label, v.embedding, v.n2,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             ROUND({_sql_dot('v.embedding', 'c.ce')}
+                   / sqrt(v.n2 * {_sql_dot('c.ce', 'c.ce')}),
+                   {SIM_DECIMALS}) DESC,
+             c.c_label) AS rk
+    FROM v CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.c_label = b.c_label AND a.vec_id < b.vec_id
+  WHERE ROUND({_sql_dot('a.embedding', 'b.embedding')}
+        / sqrt(a.n2 * b.n2), {SIM_DECIMALS}) >= {SEMDEDUP_COS}
+)
+SELECT a.vec_id, a.c_label,
+       (a.vec_id IN (SELECT vec_id FROM dropped)) AS is_dropped
+FROM assign a
+ORDER BY a.vec_id
+""",
+)
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication of a training corpus — cluster the embedding space
+    (k-means cells; here the per-label coordinate-mean centroids the
+    IVF family already uses), then compare vectors ONLY within their
+    cluster and drop all but one of each semantically-near group
+    (deterministic keep-lowest-id rule, so a vector is dropped iff a
+    LOWER-id vector in its cluster is within the cosine threshold).
+    The fifth dedup family: exact / MinHash / SimHash / LSH-cosine
+    are lexical, SemDeDup is meaning-grain.
+
+    Scale shape: centroids are tiny and broadcast; assignment is one
+    linear pass (the cross join is |corpus| x k with rank-1 pruning,
+    the same WindowGroupLimit argmin as emb_pq); the pair comparison
+    is an equi-join ON THE CLUSTER ID — candidate cost is
+    sum-of-cluster-sizes^2, never corpus^2, and clusters are bounded
+    by construction at production k (~sqrt(N) cells). Verified
+    against the literal cluster self-join in DuckDB.
+    """
+    v = _vectors(spark, sf_dir)
+    dims = v.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), SIM_DECIMALS).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pc, p -> p.c)").alias("ce"),
+        )
+    )
+    cos_c = F.round(
+        _dot("embedding", "ce") / F.sqrt(F.col("n2") * _dot("ce", "ce")),
+        SIM_DECIMALS,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "c_label")
+    assign = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "c_label", "embedding", "n2", cos_c.alias("cos_c"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "c_label", "embedding", "n2")
+    )
+    a = assign.select(
+        F.col("c_label"),
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na"),
+    )
+    b = assign.select(
+        F.col("c_label").alias("cb"),
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb"),
+    )
+    pair_cos = F.round(
+        _dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), SIM_DECIMALS
+    )
+    dropped = (
+        a.join(b, (a.c_label == b.cb) & (F.col("v1") < F.col("v2")))
+        .filter(pair_cos >= SEMDEDUP_COS)
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "c_label",
+            F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+        )
+        .orderBy("vec_id")
+    )

@@ -25,6 +25,10 @@ BNLJ_ALLOWED = {
     "emb_centroid_assign",
     "emb_neardup_pairs",
     "emb_ivf_search",
+    # k broadcast centroids x corpus with rank-1 pruning (the same
+    # bounded assignment cross-join as emb_centroid_assign); the pair
+    # join itself is an equi-join on the cluster id
+    "emb_semdedup",
     "rel_cross_join",
     # scalar-subquery pattern: a 1-row aggregate (global threshold /
     # average / NAAJ stats) broadcast against the main branch
