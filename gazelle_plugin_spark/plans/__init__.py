@@ -108,8 +108,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "expr_hash_native",
     "emb_semdedup",     # new r7: semantic dedup (cluster-bucketed)
     "events_scd2",      # new r7: SCD-2 validity-interval history
-    "doc_tfidf_topterms",
-    "doc_word_pmi",
+    "doc_cms_heavyhitters",     # new r7: count-min frequency sketch
+    "doc_bloom_contamination",  # new r7: Bloom-filter decontamination
     "doc_hash_embed",
     "emb_kmeans",
     "expr_map",

@@ -1924,3 +1924,215 @@ def doc_mixture_sample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+#: Count-min sketch geometry: d hash rows x w slots. 4x256 keeps the
+#: whole sketch at 1024 counters — broadcast-size at ANY corpus scale.
+CMS_D = 4
+CMS_W = 256
+CMS_TOPK = 20
+
+
+@query(
+    "doc_cms_heavyhitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, u.term FROM (
+    SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  ) d, UNNEST(d.w) AS u(term)
+  WHERE u.term <> ''
+),
+exact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY term
+),
+slots AS (
+  SELECT r.r AS r,
+         ((({sql_md5h60("term || '#' || CAST(r.r AS VARCHAR)")}) % {CMS_W})
+          + {CMS_W}) % {CMS_W} AS slot,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks, UNNEST(generate_series(0, {CMS_D - 1})) AS r(r)
+  GROUP BY r.r, slot
+),
+top AS (
+  SELECT term, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, term LIMIT {CMS_TOPK}
+),
+est AS (
+  SELECT t.term, t.exact_cnt, MIN(s.c) AS cms_est
+  FROM top t
+  JOIN (SELECT t2.term, r.r AS r,
+               ((({sql_md5h60("t2.term || '#' || CAST(r.r AS VARCHAR)")})
+                 % {CMS_W}) + {CMS_W}) % {CMS_W} AS slot
+        FROM top t2, UNNEST(generate_series(0, {CMS_D - 1})) AS r(r)) h
+    ON h.term = t.term
+  JOIN slots s ON s.r = h.r AND s.slot = h.slot
+  GROUP BY t.term, t.exact_cnt
+)
+SELECT term, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+FROM est
+ORDER BY exact_cnt DESC, term
+""",
+)
+def doc_cms_heavyhitters(spark, sf_dir):
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    the mergeable FREQUENCY sketch completing the sketch family
+    (rel_hll_union = distinct counts, rel_bitmap_distinct = exact
+    distinct, this = per-key frequencies). Every token increments one
+    slot per hash row; a term's estimate is the MIN over its d row
+    counters — always >= the exact count, equal when no collision.
+    The query proves the sketch: exact top-{CMS_TOPK} terms joined to
+    their sketch estimates with the overcount surfaced.
+
+    Scale shape: the sketch build is ONE combinable aggregate whose
+    output is d x w = {CMS_D}x{CMS_W} counters REGARDLESS of corpus
+    size or vocabulary — the state you ship/union across shards
+    (vs the exact path's O(vocabulary) shuffle, computed here only to
+    grade the sketch). Slots use md5h60 (cross-engine identical);
+    Spark pmod == the DuckDB ((x % w) + w) % w form. At 100 TB you
+    keep the 1024 counters and drop the exact branch.
+    """
+    toks = (
+        _maybe_spread(_tokens(spark, sf_dir))
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    rows = F.array(*[F.lit(r) for r in range(CMS_D)])
+    slot = F.pmod(
+        md5h60(F.concat(F.col("term"), F.lit("#"), F.col("r").cast("string"))),
+        F.lit(CMS_W),
+    )
+    sketch = (
+        toks.select("term", F.explode(rows).alias("r"))
+        .select("r", slot.alias("slot"))
+        .groupBy("r", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "term").limit(CMS_TOPK)
+    top_slots = top.select(
+        "term", "exact_cnt", F.explode(rows).alias("r")
+    ).select("term", "exact_cnt", "r", slot.alias("slot"))
+    return (
+        top_slots.join(F.broadcast(sketch), ["r", "slot"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "term",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_cnt"), "term")
+    )
+
+
+#: Bloom-filter geometry for the probabilistic decontamination pass:
+#: m bits, k hash functions. 32768x3 keeps the filter a 4 KiB
+#: bitset — the state you broadcast at ANY benchmark size.
+BLOOM_M = 32768
+BLOOM_K = 3
+
+
+@query(
+    "doc_bloom_contamination",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {BENCH_SET_MAX_ID}),
+bloom AS (
+  SELECT DISTINCT
+         ((({sql_md5h60("s || '#b' || CAST(k.k AS VARCHAR)")}) % {BLOOM_M})
+          + {BLOOM_M}) % {BLOOM_M} AS pos
+  FROM bench, UNNEST(generate_series(0, {BLOOM_K - 1})) AS k(k)
+),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= {BENCH_SET_MAX_ID}),
+tested AS (
+  SELECT c.doc_id, c.s,
+         (COUNT(b.pos) = {BLOOM_K}) AS bloom_hit
+  FROM (
+    SELECT doc_id, s,
+           ((({sql_md5h60("s || '#b' || CAST(k.k AS VARCHAR)")})
+             % {BLOOM_M}) + {BLOOM_M}) % {BLOOM_M} AS pos
+    FROM corpus, UNNEST(generate_series(0, {BLOOM_K - 1})) AS k(k)
+  ) c
+  LEFT JOIN bloom b ON c.pos = b.pos
+  GROUP BY c.doc_id, c.s
+),
+exact AS (
+  SELECT c.doc_id, c.s, (bench.s IS NOT NULL) AS exact_hit
+  FROM corpus c LEFT JOIN bench ON c.s = bench.s
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN e.exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact,
+       CAST(SUM(CASE WHEN t.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom,
+       CAST(SUM(CASE WHEN t.bloom_hit AND NOT e.exact_hit
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM tested t JOIN exact e ON t.doc_id = e.doc_id AND t.s = e.s
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def doc_bloom_contamination(spark, sf_dir):
+    """Bloom-filter benchmark decontamination — the PROBABILISTIC
+    scale path beside doc_contamination's exact broadcast set. The
+    benchmark's shingles fold into an m={BLOOM_M}, k={BLOOM_K} Bloom
+    filter (a fixed 512-byte bitset however large the benchmark
+    grows); each corpus shingle is flagged iff ALL k of its bit
+    positions are set. The query grades the filter per document:
+    exact overlap, bloom overlap (always >=), and the false-positive
+    count — making the never-false-negative guarantee and the FP
+    rate both oracle-checked values, not assumptions.
+
+    Scale shape: the filter build is a distinct-positions aggregate
+    over the (tiny) benchmark side; the corpus-side test is a
+    broadcast join on bit position with a count-==-k fold per
+    shingle — one corpus pass, no corpus self-join, and the shipped
+    state is O(m) bits, not O(benchmark shingles). md5h60 positions
+    are cross-engine identical; Spark pmod == DuckDB's
+    ((x % m) + m) % m.
+    """
+    sh = _shingles(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") < BENCH_SET_MAX_ID).select("s").distinct()
+    )
+    ks = F.array(*[F.lit(k) for k in range(BLOOM_K)])
+    pos = F.pmod(
+        md5h60(F.concat(F.col("s"), F.lit("#b"), F.col("k").cast("string"))),
+        F.lit(BLOOM_M),
+    )
+    bloom = (
+        bench.select("s", F.explode(ks).alias("k"))
+        .select(pos.alias("pos"))
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") >= BENCH_SET_MAX_ID)
+    tested = (
+        corpus.select("doc_id", "s", F.explode(ks).alias("k"))
+        .select("doc_id", "s", pos.alias("pos"))
+        .join(F.broadcast(bloom), "pos", "left")
+        .groupBy("doc_id", "s")
+        .agg((F.count("set_bit") == BLOOM_K).alias("bloom_hit"))
+    )
+    exact = (
+        corpus.join(
+            F.broadcast(bench.withColumn("in_bench", F.lit(1))), "s", "left"
+        )
+        .select("doc_id", "s", F.col("in_bench").isNotNull().alias("exact_hit"))
+    )
+    return (
+        tested.join(exact, ["doc_id", "s"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("exact_hit"), 1).otherwise(0)).alias("n_exact"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_bloom"),
+            F.sum(
+                F.when(F.col("bloom_hit") & ~F.col("exact_hit"), 1).otherwise(0)
+            ).alias("n_false_pos"),
+        )
+        .orderBy("doc_id")
+    )
