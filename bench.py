@@ -56,6 +56,10 @@ PIPELINE_BENCH = [
     "doc_dup_ngram_coverage",
     "doc_pii_scrub",
     "doc_pack_sequences",
+    "emb_semdedup",
+    "events_scd2",
+    "doc_cms_heavyhitters",
+    "doc_bloom_contamination",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -386,3 +386,47 @@ def test_mixture_sample_rates(spark):
     assert rows["zh"].n_kept == rows["zh"].n_docs
     plan = _plan(spark, "doc_mixture_sample")
     assert "Join" not in plan, plan
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min guarantee: the sketch estimate is >= the exact count
+    for EVERY term (min over d rows of slot sums can only overcount),
+    and at least one top term collides at test scale (overcount > 0
+    somewhere would be ideal but is data-dependent — the hard
+    guarantee is the one asserted)."""
+    rows = QUERIES["doc_cms_heavyhitters"](spark, SF_MED).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt, r
+        assert r.overcount == r.cms_est - r.exact_cnt
+
+
+def test_bloom_never_false_negative(spark):
+    """Bloom guarantee: every exact benchmark overlap is also a bloom
+    hit (n_bloom >= n_exact per document, n_false_pos is exactly the
+    difference), and the aggregate FP rate stays under 1% at the
+    32768x3 geometry."""
+    rows = QUERIES["doc_bloom_contamination"](spark, SF_MED).collect()
+    assert rows
+    fp = tot = 0
+    for r in rows:
+        assert r.n_bloom >= r.n_exact, r
+        assert r.n_false_pos == r.n_bloom - r.n_exact
+        fp += r.n_false_pos
+        tot += r.n_shingles - r.n_exact
+    assert fp / tot < 0.01, (fp, tot)
+
+
+def test_semdedup_drop_rule(spark):
+    """SemDeDup keep-lowest-id rule: within every cluster the
+    lowest-id member is never dropped, and a dropped vector implies a
+    lower-id cluster-mate (checked structurally on the output)."""
+    rows = QUERIES["emb_semdedup"](spark, SF_MED).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.c_label, []).append(r)
+    assert any(r.is_dropped for r in rows)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert not lowest.is_dropped, lowest
