@@ -146,3 +146,30 @@ def test_hash_reference_edge_shapes(spark):
     for r in rows:
         assert r.m == murmur3_spark(r.s.encode()), r.s
         assert r.x == xxhash64_spark(r.s.encode()), r.s
+
+
+def test_hash_reference_randomized(spark):
+    """200 seeded-random strings (mixed ASCII/unicode/lengths 0-100)
+    through Spark's hash()/xxhash64() vs the pure-Python references —
+    catches any length-class or sign-extension edge the curated
+    shapes miss."""
+    import random
+
+    from tests.hash_reference import murmur3_spark, xxhash64_spark
+
+    rng = random.Random(20260814)
+    alphabet = "abcXYZ019 _-é中\U0001f600"
+    vals = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 101)))
+        for _ in range(200)
+    ]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select("s", F.hash("s").alias("m"), F.xxhash64("s").alias("x"))
+        .collect()
+    )
+    assert len(rows) == 200
+    for r in rows:
+        b = r.s.encode()
+        assert r.m == murmur3_spark(b), repr(r.s)
+        assert r.x == xxhash64_spark(b), repr(r.s)
