@@ -112,7 +112,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_bloom_contamination",  # new r7: Bloom-filter decontamination
     "doc_hash_embed",
     "emb_kmeans",
-    "expr_map",
+    "bkt_colocated_join",  # new r7: bucketed zero-exchange join
     "ds_lochierarchy",  # new: q36 rank-within-rollup-level
     "ds_dual_rank",     # new: q49 dual rank filter
     "events_markov",    # new: transition-matrix sequence model

@@ -1184,3 +1184,75 @@ def rel_open_intervals(spark, sf_dir):
         "n_end",
         F.sum("net").over(w).alias("open_lines"),
     ).orderBy("day")
+
+
+@query(
+    "bkt_colocated_join",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS d_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum(SQL_DISC_PRICE)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY year(o_orderdate)
+ORDER BY d_year
+""",
+)
+def bkt_colocated_join(spark, sf_dir):
+    """Shuffle-free co-located join over BUCKETED tables — the
+    reference replaces the shuffle machinery natively
+    (ColumnarShuffleExchangeExec + splitters); the Spark-native
+    equivalent is bucketing both join sides on the join key at rest,
+    which this query exercises END-TO-END with a value oracle (the
+    plain-parquet SQL form): lineitem and orders are mirrored once
+    into 8-bucket, per-bucket-sorted managed tables, and the
+    orderkey join then plans with ZERO exchange before the join
+    (plan-golden: two shuffles total — the year rollup and the final
+    ORDER BY; an unbucketed orderkey join shuffles BOTH fact sides
+    first). The residual per-bucket SMJ sorts are shuffle-free and
+    O(bucket); Spark 3+ no longer consumes the at-rest sort order by
+    default (SPARK-32859 made bucketed-scan output ordering opt-in),
+    so the sorted write is kept for read locality, not claimed in
+    the plan.
+
+    Scale shape: THE 100 TB lever (SCALE.md) — a nightly-bucketed
+    fact turns every orderkey join from a full shuffle of the fact
+    into a local zip of bucket files. The mirror is built per
+    session+process (pid-suffixed table names), so concurrent bench
+    JVMs never write the same warehouse path; repeated calls in one
+    session reuse the catalog entry.
+    """
+    import os
+
+    from gazelle_plugin_spark.sources.bucketing import write_bucketed
+
+    slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    pid = os.getpid()
+
+    def mirror(name: str, key: str) -> str:
+        tbl = f"bkt_{name}_{slug}_{pid}"
+        if not spark.catalog.tableExists(tbl):
+            # one FILE per bucket (repartition on the key into the
+            # bucket count): Spark only trusts per-bucket sort order
+            # when a bucket is a single file, and that trust is what
+            # lets the SMJ skip its sorts
+            write_bucketed(
+                t(spark, sf_dir, name).repartition(8, F.col(key)),
+                tbl, [key], num_buckets=8, sort_cols=[key],
+            )
+        return tbl
+
+    li = spark.table(mirror("lineitem", "l_orderkey"))
+    # the merge hint pins the fact-x-fact plan shape: at test scale
+    # orders fits the broadcast threshold and Catalyst would broadcast
+    # it (hiding the bucket co-location this query exists to prove);
+    # at 100 TB both sides are facts and SMJ is the plan regardless
+    o = spark.table(mirror("orders", "o_orderkey")).hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("d_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(disc_price()).cast("double").alias("revenue"),
+        )
+        .orderBy("d_year")
+    )
