@@ -291,3 +291,37 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def cms_sketch_stream(
+    events: DataFrame,
+    d: int = 4,
+    w: int = 256,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming count-min sketch over ``event_type``: the mergeable
+    frequency sketch maintained ONLINE — each event increments one
+    (row, slot) counter per hash row, so the running state is d x w
+    counters however long the stream runs (the streaming twin of
+    plans.text_pipeline.doc_cms_heavyhitters; same md5-derived slots,
+    so the online sketch and a batch rebuild are bit-identical).
+    Update-mode output emits the changed counters per trigger; the
+    sink (or a downstream union) keeps the latest value per slot.
+    Works identically on batch frames."""
+    from gazelle_plugin_spark.plans._util import md5h60
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    rows_arr = F.array(*[F.lit(r) for r in range(d)])
+    slot = F.pmod(
+        md5h60(
+            F.concat(F.col("event_type"), F.lit("#"), F.col("r").cast("string"))
+        ),
+        F.lit(w),
+    )
+    return (
+        src.select(F.col("event_type"), F.explode(rows_arr).alias("r"))
+        .select("r", slot.alias("slot"))
+        .groupBy("r", "slot")
+        .count()
+        .withColumnRenamed("count", "c")
+    )

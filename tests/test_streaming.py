@@ -242,3 +242,38 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
     expected = interval_join(bc, be)
     assert rows(got) == rows(expected)
     assert expected.count() > 0
+
+
+def test_cms_sketch_stream_matches_batch(spark, events_dir):
+    """The online count-min sketch equals a batch rebuild counter for
+    counter (same md5 slots), and its estimates never underestimate
+    the exact per-type counts."""
+    from gazelle_plugin_spark.streaming.pipeline import cms_sketch_stream
+
+    stream = stream_events(spark, events_dir)
+    got = _run_stream(spark, cms_sketch_stream(stream), "cms_sink", "update")
+    batch = spark.read.parquet(events_dir)
+    expected = cms_sketch_stream(batch)
+    assert rows(got) == rows(expected)
+
+    sketch = {(r.r, r.slot): r.c for r in got.collect()}
+    from gazelle_plugin_spark.plans._util import md5h60
+    from pyspark.sql import functions as F
+
+    exact = batch.groupBy("event_type").count().collect()
+    slots = {
+        (r.event_type, r.r): r.slot
+        for r in batch.select("event_type").distinct()
+        .select("event_type", F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("r"))
+        .select(
+            "event_type", "r",
+            F.pmod(
+                md5h60(F.concat(F.col("event_type"), F.lit("#"), F.col("r").cast("string"))),
+                F.lit(256),
+            ).alias("slot"),
+        )
+        .collect()
+    }
+    for row in exact:
+        est = min(sketch[(r, slots[(row.event_type, r)])] for r in range(4))
+        assert est >= row['count'], row
