@@ -115,7 +115,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bkt_colocated_join",  # new r7: bucketed zero-exchange join
     "ds_lochierarchy",  # new: q36 rank-within-rollup-level
     "ds_dual_rank",     # new: q49 dual rank filter
-    "events_markov",    # new: transition-matrix sequence model
+    "emb_hard_negatives",  # new r7: contrastive hard-negative mining
     "doc_chunks",       # new: RAG sliding-window chunker
     "events_rfm",       # new: RFM quartile segmentation
     "events_streak",    # new: gaps-and-islands day streaks

@@ -891,3 +891,65 @@ def emb_semdedup(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "emb_hard_negatives",
+    oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe, n2 AS qn2
+      FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.q_id, v.vec_id, v.label,
+         ROUND({_sql_dot('q.qe', 'v.embedding')}
+               / sqrt(q.qn2 * v.n2), {SIM_DECIMALS}) AS cos_sim
+  FROM q JOIN v ON v.vec_id <> q.q_id AND v.label <> q.q_label
+)
+SELECT q_id, vec_id, label, cos_sim, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, vec_id) AS INT) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+""",
+)
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-{TOP_K} MOST-similar corpus vectors with a
+    DIFFERENT label — the negatives that sit closest to the decision
+    boundary (the standard dense-retrieval training-data op; random
+    negatives are too easy, these are the ones the model learns
+    from).
+
+    Scale shape: identical to emb_topk_cosine — bounded query set
+    broadcast, corpus streams once, the label-mismatch residual rides
+    the same join, and WindowGroupLimit caps each query's candidates
+    at k before the final sort. In production the corpus side is the
+    ANN-bucketed path (emb_lsh_topk / emb_ivf_search); this is the
+    exact-oracle form that grades those.
+    """
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    cos = F.round(
+        _dot("qe", "embedding") / F.sqrt(F.col("qn2") * F.col("n2")),
+        SIM_DECIMALS,
+    )
+    scored = (
+        v.join(
+            F.broadcast(q),
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select("q_id", "vec_id", "label", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("q_id", "rk")
+    )

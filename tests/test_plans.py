@@ -21,6 +21,7 @@ QUERIES = all_queries()
 #: joined under a non-equi condition.
 BNLJ_ALLOWED = {
     "emb_topk_cosine",
+    "emb_hard_negatives",
     "emb_lsh_topk",
     "emb_centroid_assign",
     "emb_neardup_pairs",
