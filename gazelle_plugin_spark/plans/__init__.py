@@ -116,7 +116,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ds_lochierarchy",  # new: q36 rank-within-rollup-level
     "ds_dual_rank",     # new: q49 dual rank filter
     "emb_hard_negatives",  # new r7: contrastive hard-negative mining
-    "doc_chunks",       # new: RAG sliding-window chunker
+    "rel_exact_percentiles",  # new r7: exact quantiles grade the sketch
     "events_rfm",       # new: RFM quartile segmentation
     "events_streak",    # new: gaps-and-islands day streaks
     "emb_pq",           # new: product quantization codes

@@ -1256,3 +1256,50 @@ def bkt_colocated_join(spark, sf_dir):
         )
         .orderBy("d_year")
     )
+
+
+@query(
+    "rel_exact_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       ROUND(quantile_cont(l_quantity, 0.50), 6) AS qty_median
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def rel_exact_percentiles(spark, sf_dir):
+    """EXACT percentiles (linear interpolation) per group — the
+    deterministic complement of rel_approx_agg's percentile_approx:
+    Spark's sort-based `percentile` aggregate against DuckDB's
+    quantile_cont, which shares the same continuous-interpolation
+    definition, so the values hash-match exactly on identical double
+    inputs (rounded only for output display).
+
+    Scale shape: exact quantiles are the one aggregate here that is
+    NOT O(1)-state combinable — Spark's partial collects per-group
+    value buffers, so memory is O(group size) and the op is reserved
+    for bounded groups (3 return flags); unbounded-cardinality
+    columns take the percentile_approx path (fixed-size mergeable
+    sketch, rel_approx_agg). Having BOTH, each oracle-graded, is the
+    point: the exact one grades the sketch.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    pct = lambda c, p: F.round(F.percentile(c, F.lit(p)), 6)  # noqa: E731
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pct("l_extendedprice", 0.25).alias("p25"),
+            pct("l_extendedprice", 0.50).alias("p50"),
+            pct("l_extendedprice", 0.75).alias("p75"),
+            pct("l_extendedprice", 0.99).alias("p99"),
+            pct("l_quantity", 0.50).alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
