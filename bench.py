@@ -176,14 +176,16 @@ def _vanilla_session(cpus: str):
     return spark
 
 
-def _worker(cpus: str, sf_dir: str) -> None:
-    """Vanilla-session subprocess: one query name per stdin line, one
-    JSON answer per stdout line. Keeping the session alive across
-    queries lets the parent interleave engine/vanilla per query
-    without paying ~10 s of JVM startup per measurement."""
+def _worker(cpus: str, sf_dir: str, kind: str) -> None:
+    """Measurement subprocess (engine OR vanilla session): one query
+    name per stdin line, one JSON answer per stdout line. Keeping the
+    session alive across queries lets the parent interleave the two
+    sides per query without paying ~10 s of JVM startup per
+    measurement; the parent recycles workers periodically so neither
+    side's timings ride a JVM aged by dozens of earlier queries."""
     from gazelle_plugin_spark.plans import all_queries
 
-    spark = _vanilla_session(cpus)
+    spark = _engine_session(cpus) if kind == "engine" else _vanilla_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     _warm(spark, queries, sf_dir)
@@ -200,14 +202,92 @@ def _worker(cpus: str, sf_dir: str) -> None:
     spark.stop()
 
 
+class _WorkerHandle:
+    """Parent-side handle: spawn / ask / recycle one measurement
+    worker, with a bounded crash-respawn budget shared per side."""
+
+    MAX_RESPAWNS = 3
+
+    def __init__(self, kind: str):
+        import subprocess
+
+        self._subprocess = subprocess
+        self.kind = kind
+        self.respawns = 0
+        self.dead = False
+        self.proc = None
+        try:
+            self.proc = self._spawn()
+        except Exception:  # noqa: BLE001 - a side that cannot start
+            self.dead = True
+
+    def _spawn(self):
+        p = self._subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), f"--worker={self.kind}"],
+            stdin=self._subprocess.PIPE,
+            stdout=self._subprocess.PIPE,
+            stderr=self._subprocess.DEVNULL,
+            text=True,
+            env=os.environ,
+        )
+        ready = json.loads(p.stdout.readline())
+        assert ready.get("ready"), f"{self.kind} worker failed: {ready}"
+        return p
+
+    def stop(self):
+        if self.proc is None:
+            return
+        try:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=60)
+        except Exception:  # noqa: BLE001 - hung worker: kill
+            self.proc.kill()
+        self.proc = None
+
+    def recycle(self):
+        """Planned fresh-JVM swap (not charged to the crash budget)."""
+        if self.dead:
+            return
+        self.stop()
+        try:
+            self.proc = self._spawn()
+        except Exception:  # noqa: BLE001
+            self.dead = True
+
+    def ask(self, name: str) -> dict:
+        """(sec|err) for one query; respawns once on a dead pipe."""
+        if self.dead:
+            return {"err": "worker died"}
+        for _attempt in (1, 2):
+            try:
+                self.proc.stdin.write(name + "\n")
+                self.proc.stdin.flush()
+                return json.loads(self.proc.stdout.readline())
+            except (BrokenPipeError, OSError, json.JSONDecodeError) as exc:
+                err = f"worker died: {type(exc).__name__}"
+                self.stop()
+                if self.respawns >= self.MAX_RESPAWNS:
+                    self.dead = True
+                    return {"err": err}
+                self.respawns += 1
+                try:
+                    self.proc = self._spawn()
+                except Exception:  # noqa: BLE001
+                    self.dead = True
+                    return {"err": err}
+        return {"err": err}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     args = sys.argv[1:]
-    if "--worker" in args:
-        _worker(cpus, sf_dir)
-        return
+    for a in args:
+        if a.startswith("--worker"):
+            kind = a.split("=", 1)[1] if "=" in a else "vanilla"
+            _worker(cpus, sf_dir, kind)
+            return
     vanilla = "--vanilla" in args
     compare = "--no-compare" not in args and not vanilla
     args = [a for a in args if not a.startswith("--")]
@@ -247,92 +327,38 @@ def main() -> None:
         timings, errors = _run_queries(spark, names, queries, sf_dir)
         spark.stop()
     else:
-        # interleaved compare: engine in-process, vanilla in one
-        # persistent subprocess (separate JVM: no shared JIT warm-up),
-        # measured back-to-back per query
-        import subprocess
+        # Interleaved SYMMETRIC compare: engine AND vanilla each live
+        # in their own measurement subprocess, asked back-to-back per
+        # query, and BOTH are recycled to fresh JVMs every
+        # RESPAWN_EVERY queries — in a 90+-query session a single
+        # long-lived JVM accumulates code-cache/GC aging that shows up
+        # as random 2-4x ONE-SIDED per-query outliers (round-6/7
+        # lesson: every full-set "regression" vanished on a clean
+        # subset re-run). Bounded-budget crash respawns are per side.
+        RESPAWN_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_RESPAWN", "24"))
 
-        def spawn_worker():
-            p = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "--worker"],
-                stdin=subprocess.PIPE,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL,
-                text=True,
-                env=os.environ,
-            )
-            # wait for the worker's session to be warm before timing
-            ready = json.loads(p.stdout.readline())
-            assert ready.get("ready"), f"worker failed to start: {ready}"
-            return p
-
-        def stop_worker(p):
-            try:
-                p.stdin.close()
-                p.wait(timeout=60)
-            except Exception:  # noqa: BLE001 - hung worker: kill
-                p.kill()
-
-        # A worker that cannot even start must not kill the run — the
-        # engine timings still print (with a vanilla_errors marker).
-        worker_dead = False
-        proc = None
-        try:
-            proc = spawn_worker()
-        except Exception:  # noqa: BLE001
-            worker_dead = True
-            if proc is not None:
-                proc.kill()
-        spark = _engine_session(cpus)
-        spark.sparkContext.setLogLevel("ERROR")
-        _warm(spark, queries, sf_dir)
-
+        eng = _WorkerHandle("engine")
+        van = _WorkerHandle("vanilla")
         timings, errors = {}, {}
         vtimings, verrors = {}, {}
-        # A worker-JVM death (OOM/segfault) must not erase accumulated
-        # timings OR the remaining comparisons: respawn a fresh worker
-        # (bounded — a query that kills two workers in a row is marked
-        # and skipped, and after MAX_RESPAWNS total the run finishes
-        # engine-only).
-        MAX_RESPAWNS = 3
-        respawns = 0
-        for name in names:
-            try:
-                timings[name] = _time_one(spark, queries[name], sf_dir)
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            if worker_dead:
-                verrors[name] = "worker died"
-                continue
-            for attempt in (1, 2):
-                try:
-                    proc.stdin.write(name + "\n")
-                    proc.stdin.flush()
-                    ans = json.loads(proc.stdout.readline())
-                except (BrokenPipeError, OSError, json.JSONDecodeError) as exc:
-                    verrors[name] = f"worker died: {type(exc).__name__}"
-                    stop_worker(proc)
-                    if respawns >= MAX_RESPAWNS:
-                        worker_dead = True
-                        break
-                    respawns += 1
-                    try:
-                        proc = spawn_worker()
-                    except Exception:  # noqa: BLE001
-                        worker_dead = True
-                        break
-                    continue  # attempt 2 on the fresh worker
-                if "sec" in ans:
-                    vtimings[name] = ans["sec"]
-                    verrors.pop(name, None)
-                else:
-                    verrors[name] = ans["err"]
-                break
-        if not worker_dead:
-            stop_worker(proc)
-        spark.stop()
-        if respawns:
-            result["worker_respawns"] = respawns
+        for i, name in enumerate(names):
+            if i and i % RESPAWN_EVERY == 0:
+                eng.recycle()
+                van.recycle()
+            ans = eng.ask(name)
+            if "sec" in ans:
+                timings[name] = ans["sec"]
+            else:
+                errors[name] = ans["err"]
+            ans = van.ask(name)
+            if "sec" in ans:
+                vtimings[name] = ans["sec"]
+            else:
+                verrors[name] = ans["err"]
+        eng.stop()
+        van.stop()
+        if eng.respawns or van.respawns:
+            result["worker_respawns"] = eng.respawns + van.respawns
 
         # like-for-like totals: only queries BOTH sides completed
         both = [n for n in names if timings.get(n) and vtimings.get(n)]
