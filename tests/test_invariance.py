@@ -43,6 +43,15 @@ def _rows(df):
         "doc_pack_sequences",
         "rel_trade_pagerank",
         "events_decay",
+        # round 7: the semantic-dedup pair join and centroid argmin,
+        # the SCD-2 version numbering over same-microsecond ties, the
+        # count-min counters (pure hash slots), and the exact
+        # percentile's sort-based interpolation must all be
+        # layout-free at any width
+        "emb_semdedup",
+        "events_scd2",
+        "doc_cms_heavyhitters",
+        "rel_exact_percentiles",
     ],
 )
 def test_result_invariant_to_shuffle_width(spark, name):
