@@ -1228,8 +1228,20 @@ def bkt_colocated_join(spark, sf_dir):
     slug = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     pid = os.getpid()
 
+    # pin the mirror's files INSIDE the repo regardless of the calling
+    # process's cwd (the default warehouse is $PWD/spark-warehouse):
+    # a database created with an explicit LOCATION overrides the
+    # session warehouse for every table created in it
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS bktdb "
+        f"LOCATION '{os.path.join(repo_root, '.bkt_warehouse')}'"
+    )
+
     def mirror(name: str, key: str) -> str:
-        tbl = f"bkt_{name}_{slug}_{pid}"
+        tbl = f"bktdb.bkt_{name}_{slug}_{pid}"
         if not spark.catalog.tableExists(tbl):
             # one FILE per bucket (repartition on the key into the
             # bucket count): Spark only trusts per-bucket sort order
