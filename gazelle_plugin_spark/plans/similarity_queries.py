@@ -63,6 +63,46 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.withColumn("n2", _dot("embedding", "embedding"))
 
 
+def _nearest_centroid(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment with ZERO shuffle: collapse the k
+    centroids (c_label, ce) into ONE broadcast row holding an array of
+    (c_label, ce, cn2) structs, then fold the cosine argmax (tie-break
+    lowest c_label, via the negated label inside the ordered struct)
+    per corpus row with ``array_max(transform(...))``.
+
+    Replaces the round-7 ``row_number().over(Window.partitionBy(
+    "vec_id"))`` construction, which materialized |corpus| x k rows
+    (each dragging the 64-float embedding) through a full exchange +
+    sort. The per-pair dot products were already interpreted
+    higher-order lambdas in that plan, so the in-row fold adds no new
+    interpretation cost — it only deletes the shuffle and the sort.
+    Scale shape: a narrow map over the corpus; centroid count k is the
+    only broadcast payload.
+    """
+    cents1 = cent.withColumn("cn2", _dot("ce", "ce")).agg(
+        F.collect_list(F.struct("c_label", "ce", "cn2")).alias("cents")
+    )
+
+    def _scored(c):
+        prods = F.zip_with(
+            F.col("embedding"), c["ce"],
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+        cos = F.round(
+            F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+            / F.sqrt(F.col("n2") * c["cn2"]),
+            SIM_DECIMALS,
+        )
+        return F.struct(cos.alias("cos"), (-c["c_label"]).alias("negl"))
+
+    best = F.array_max(F.transform(F.col("cents"), _scored))
+    return (
+        v.join(F.broadcast(cents1))
+        .withColumn("c_label", -best.getField("negl"))
+        .drop("cents")
+    )
+
+
 _SQL_VECTORS = f"""
   SELECT vec_id, label, embedding,
          {_sql_dot('embedding', 'embedding')} AS n2
@@ -362,16 +402,15 @@ def emb_ivf_search(spark, sf_dir):
             F.expr("transform(pc, p -> p.c)").alias("ce"),
         )
     )
-    cos_vc = F.round(
-        _dot("embedding", "ce") / F.sqrt(F.col("n2") * _dot("ce", "ce")), SIM_DECIMALS
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "c_label")
+    # Hash-spread the assignment on vec_id so the per-candidate cosine
+    # in the probe join below runs shuffle-width-parallel instead of
+    # riding the scan's few input splits (same discipline as
+    # emb_semdedup's pair join).
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assign = (
-        v.join(F.broadcast(cent))
-        .select("vec_id", "c_label", cos_vc.alias("cos_sim"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
+        _nearest_centroid(v, cent)
         .select("vec_id", "c_label")
+        .repartition(width, "vec_id")
     )
     # probe: nearest N_PROBE centroids per query
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
@@ -829,8 +868,8 @@ def emb_semdedup(spark, sf_dir):
     are lexical, SemDeDup is meaning-grain.
 
     Scale shape: centroids are tiny and broadcast; assignment is one
-    linear pass (the cross join is |corpus| x k with rank-1 pruning,
-    the same WindowGroupLimit argmin as emb_pq); the pair comparison
+    shuffle-free linear pass (the per-row centroid-array fold of
+    :func:`_nearest_centroid`); the pair comparison
     is an equi-join ON THE CLUSTER ID — candidate cost is
     sum-of-cluster-sizes^2, never corpus^2, and clusters are bounded
     by construction at production k (~sqrt(N) cells). Verified
@@ -848,19 +887,16 @@ def emb_semdedup(spark, sf_dir):
             F.expr("transform(pc, p -> p.c)").alias("ce"),
         )
     )
-    cos_c = F.round(
-        _dot("embedding", "ce") / F.sqrt(F.col("n2") * _dot("ce", "ce")),
-        SIM_DECIMALS,
+    assign = _nearest_centroid(v, cent).select(
+        "vec_id", "c_label", "embedding", "n2"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), "c_label")
-    assign = (
-        v.join(F.broadcast(cent))
-        .select("vec_id", "c_label", "embedding", "n2", cos_c.alias("cos_c"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "c_label", "embedding", "n2")
-    )
-    a = assign.select(
+    # The per-pair cosine runs inside the (broadcast) pair join below;
+    # hash-spreading the probe side on the high-cardinality vec_id
+    # gives that fold shuffle-width parallelism instead of riding the
+    # scan's few input splits (the exchange moves |corpus| rows; the
+    # fold it parallelizes is sum-of-cluster-sizes^2 — far bigger).
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = assign.repartition(width, "vec_id").select(
         F.col("c_label"),
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("ea"),
