@@ -48,6 +48,7 @@ def load_all() -> None:
         text_pipeline,
         similarity_queries,
         multimodal,
+        sqltext,
     )
 
 

@@ -30,6 +30,9 @@ BNLJ_ALLOWED = {
     # bounded assignment cross-join as emb_centroid_assign); the pair
     # join itself is an equi-join on the cluster id
     "emb_semdedup",
+    # 1-row supplier-COUNT(*) aggregate broadcast into the synthetic
+    # partsupp compatibility view (plans/sqltext.py)
+    "sqltext_q9",
     "rel_cross_join",
     # scalar-subquery pattern: a 1-row aggregate (global threshold /
     # average / NAAJ stats) broadcast against the main branch
