@@ -1,5 +1,6 @@
 """Pure-Python reference implementations of Spark's native hash
-functions, used as the VALUE oracle for expr_hash_native (which has no
+functions, the VALUE oracle for expr_hash_native: its DuckDB oracle is a
+VALUES list generated from these functions (DuckDB has no
 DuckDB analog — DuckDB's hash() is a different algorithm and it ships
 no sha1). Both follow public specifications:
 
@@ -63,8 +64,6 @@ def xxhash64_spark(data: bytes, seed: int = 42) -> int:
         v1 = (seed + P1 + P2) & M64; v2 = (seed + P2) & M64
         v3 = seed & M64; v4 = (seed - P1) & M64
         while i <= n - 32:
-            for _ in range(1):
-                pass
             v1 = (_rotl64((v1 + int.from_bytes(data[i:i+8],"little") * P2) & M64, 31) * P1) & M64
             v2 = (_rotl64((v2 + int.from_bytes(data[i+8:i+16],"little") * P2) & M64, 31) * P1) & M64
             v3 = (_rotl64((v3 + int.from_bytes(data[i+16:i+24],"little") * P2) & M64, 31) * P1) & M64

@@ -102,10 +102,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ds_channel_anti",     # q78 channel anti chain
     "ds_returns_adjust",   # q93 returns correction
     "ds_time_bands",       # q88 banded counts
-    # the one legitimately oracle-less entry (Spark-native hash
-    # values); driver records its rows-only check; murmur3/xxhash64
-    # values are pinned against pure-Python reference implementations
-    # in tests/hash_reference.py (round-7)
+    # full VALUES-list oracle since round 8 (generated from the
+    # pure-Python murmur3/xxhash64 implementations in
+    # functions/hash_reference.py) — stays in for the driver to
+    # confirm the upgraded row
     "expr_hash_native",
     "emb_semdedup",     # new r7: semantic dedup (cluster-bucketed)
     "events_scd2",      # new r7: SCD-2 validity-interval history
@@ -132,13 +132,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_ohlc",         # new: OHLC resample via min_by/max_by
 )
 
-#: Window entries with NO DuckDB oracle — cross-engine value identity
-#: is structurally impossible (Spark murmur3/xxhash64 values); the
-#: driver records a rows-only check, pytest pins the values
-#: (test_functions/test_expressions). rel_approx_agg and
-#: mm_byte_features graduated to hash oracles in round 6 (exact
-#: values + in-bounds booleans / ASCII byte re-derivation).
-ROWS_ONLY_WINDOW = frozenset({"expr_hash_native"})
+#: Window entries with NO DuckDB oracle. Empty since round 8:
+#: expr_hash_native — the last rows-only entry — now carries a VALUES
+#: list oracle generated from the pure-Python hash implementations
+#: (plans/expressions.py:_hash_native_oracle), so every window entry
+#: has a full hash-match oracle. rel_approx_agg and mm_byte_features
+#: graduated in round 6.
+ROWS_ONLY_WINDOW: frozenset[str] = frozenset()
 
 
 def _curated(reg: dict[str, str | QueryFn]) -> dict:

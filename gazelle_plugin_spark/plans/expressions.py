@@ -346,15 +346,50 @@ def expr_nested(spark, sf_dir):
     ).orderBy("l_orderkey")
 
 
-@query("expr_hash_native")  # no DuckDB analog for Spark murmur3/xxhash64/crc32
+def _hash_native_oracle() -> str:
+    """External value oracle for expr_hash_native: DuckDB has no
+    murmur3/xxhash64/sha1 analogs, so the expected values are
+    materialized as a VALUES list from the pure-Python public-spec
+    implementations (functions/hash_reference.py + hashlib/zlib) over
+    the deterministic customer names, then JOINed to the real table —
+    an exact 300-row hash-match instead of the old rows-only check.
+    If the synthetic names ever drift, the Spark side mismatches and
+    the row goes red (the correct signal)."""
+    import hashlib
+    import zlib
+
+    from gazelle_plugin_spark.functions.hash_reference import (
+        murmur3_spark,
+        xxhash64_spark,
+    )
+
+    rows = []
+    for k in range(300):
+        b = f"Customer#{k:09d}".encode()
+        rows.append(
+            f"({k}, {murmur3_spark(b)}, {xxhash64_spark(b)},"
+            f" {zlib.crc32(b)}, '{hashlib.sha1(b).hexdigest()}')"
+        )
+    vals = ",\n".join(rows)
+    return f"""
+SELECT c.c_custkey, CAST(v.h_murmur3 AS INT) AS h_murmur3,
+       CAST(v.h_xxhash64 AS BIGINT) AS h_xxhash64,
+       CAST(v.h_crc32 AS BIGINT) AS h_crc32, v.h_sha1
+FROM (VALUES {vals}) AS v(c_custkey, h_murmur3, h_xxhash64, h_crc32, h_sha1)
+JOIN customer c ON c.c_custkey = v.c_custkey
+ORDER BY c.c_custkey"""
+
+
+@query("expr_hash_native", oracle=_hash_native_oracle())
 def expr_hash_native(spark, sf_dir):
     """Spark-native hashes: murmur3 (`hash`), xxhash64, crc32, sha1 —
     the reference's Murmur3Hash/Sha1 cases
     (ColumnarExpressionConverter.scala:484-493,
     ColumnarUnaryOperator.scala). DuckDB has none of these (its sha1
-    is absent, its hash() is a different algorithm), so the driver
-    records the weaker rows-only check; tests/test_functions.py
-    re-derives sha1/crc32 with hashlib/zlib as the value oracle."""
+    is absent, its hash() is a different algorithm), so the oracle is
+    a VALUES list pinned from the pure-Python reference
+    implementations (see _hash_native_oracle); test_functions
+    additionally re-derives sha1/crc32 with hashlib/zlib."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
     return c.select(
         "c_custkey",

@@ -111,7 +111,7 @@ def test_hash_native_values_vs_python(spark):
 
     from gazelle_plugin_spark.plans import all_queries
     from tests.conftest import SF_SMALL
-    from tests.hash_reference import murmur3_spark, xxhash64_spark
+    from gazelle_plugin_spark.functions.hash_reference import murmur3_spark, xxhash64_spark
 
     rows = all_queries()["expr_hash_native"](spark, SF_SMALL).collect()
     assert rows
@@ -134,7 +134,7 @@ def test_hash_reference_edge_shapes(spark):
     length class their specs branch on: empty, 1-3 tail bytes, exact
     4/8-byte words, 31/32/33 (xxhash64 stripe boundary), and
     multi-byte UTF-8."""
-    from tests.hash_reference import murmur3_spark, xxhash64_spark
+    from gazelle_plugin_spark.functions.hash_reference import murmur3_spark, xxhash64_spark
 
     vals = ["", "a", "ab", "abc", "abcd", "abcdefgh", "x" * 31,
             "y" * 32, "z" * 33, "café✓"]
@@ -155,7 +155,7 @@ def test_hash_reference_randomized(spark):
     shapes miss."""
     import random
 
-    from tests.hash_reference import murmur3_spark, xxhash64_spark
+    from gazelle_plugin_spark.functions.hash_reference import murmur3_spark, xxhash64_spark
 
     rng = random.Random(20260814)
     alphabet = "abcXYZ019 _-é中\U0001f600"
