@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gazelle_plugin_spark.operators.skew import cap_bucket
 from gazelle_plugin_spark.plans import query
 from gazelle_plugin_spark.plans._util import t
 
@@ -818,6 +819,13 @@ def emb_pq(spark, sf_dir):
 #: to a production 0.95-threshold run.
 SEMDEDUP_COS = 0.30
 
+#: Hot-cluster guard (operators/skew.py cap_bucket): clusters above
+#: this size split into hash-salted sub-buckets before the pair join.
+#: Far above any observed cluster size (sf0.1: ~500/cluster), so the
+#: guard is a no-op on healthy data; at 100 TB it bounds a degenerate
+#: cluster's single-task pair cost to ~cap^2 instead of cluster^2.
+SEMDEDUP_BUCKET_CAP = 4096
+
 
 @query(
     "emb_semdedup",
@@ -890,20 +898,28 @@ def emb_semdedup(spark, sf_dir):
     assign = _nearest_centroid(v, cent).select(
         "vec_id", "c_label", "embedding", "n2"
     )
+    # Hot-cluster guard (operators/skew.py): a degenerate giant
+    # cluster would otherwise go quadratic in ONE join task; buckets
+    # over the cap split into hash-salted sub-buckets (cap far above
+    # observed cluster sizes -> salt 0 everywhere on healthy data, so
+    # the oracle needs no change).
+    salted = cap_bucket(assign, ["c_label"], "vec_id", SEMDEDUP_BUCKET_CAP)
     # The per-pair cosine runs inside the (broadcast) pair join below;
     # hash-spreading the probe side on the high-cardinality vec_id
     # gives that fold shuffle-width parallelism instead of riding the
     # scan's few input splits (the exchange moves |corpus| rows; the
     # fold it parallelizes is sum-of-cluster-sizes^2 — far bigger).
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = assign.repartition(width, "vec_id").select(
+    a = salted.repartition(width, "vec_id").select(
         F.col("c_label"),
+        F.col("sub"),
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("ea"),
         F.col("n2").alias("na"),
     )
-    b = assign.select(
+    b = salted.select(
         F.col("c_label").alias("cb"),
+        F.col("sub").alias("sub_b"),
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("eb"),
         F.col("n2").alias("nb"),
@@ -912,7 +928,12 @@ def emb_semdedup(spark, sf_dir):
         _dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), SIM_DECIMALS
     )
     dropped = (
-        a.join(b, (a.c_label == b.cb) & (F.col("v1") < F.col("v2")))
+        a.join(
+            b,
+            (a.c_label == b.cb)
+            & (F.col("sub") == F.col("sub_b"))
+            & (F.col("v1") < F.col("v2")),
+        )
         .filter(pair_cos >= SEMDEDUP_COS)
         .select(F.col("v2").alias("vec_id"))
         .distinct()

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gazelle_plugin_spark.operators.graph import connected_components
+from gazelle_plugin_spark.operators.skew import cap_bucket
 from gazelle_plugin_spark.plans import query
 from gazelle_plugin_spark.plans._util import md5h60, sql_md5h60, t
 
@@ -37,6 +38,13 @@ from gazelle_plugin_spark.plans._util import md5h60, sql_md5h60, t
 N_HASHES = 8
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+
+#: Hot-band guard (operators/skew.py cap_bucket): band buckets above
+#: this size split into hash-salted sub-buckets before the candidate
+#: self-join. Orders of magnitude above healthy bucket sizes (near-dup
+#: groups are 2-5 docs), so a no-op on real data; bounds a degenerate
+#: hot signature's single-task cost at 100 TB.
+MINHASH_BUCKET_CAP = 4096
 JACCARD_THRESHOLD = 0.8
 
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -323,6 +331,12 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", "b.band", "b.b1", "b.b2"
     )
+    # Hot-band guard (operators/skew.py): a band signature shared by
+    # more than MINHASH_BUCKET_CAP docs splits into hash-salted
+    # sub-buckets, bounding the single-task candidate cost of a
+    # pathological bucket; a no-op (salt 0) on healthy data, so the
+    # oracle needs no change.
+    bands = cap_bucket(bands, ["band", "b1", "b2"], "doc_id", MINHASH_BUCKET_CAP)
     cand = (
         bands.alias("x")
         .join(
@@ -330,6 +344,7 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.b1") == F.col("y.b1"))
             & (F.col("x.b2") == F.col("y.b2"))
+            & (F.col("x.sub") == F.col("y.sub"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
