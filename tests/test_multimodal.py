@@ -41,9 +41,45 @@ def test_byte_features_match_python(docs):
         assert got[row.doc_id] == expected
 
 
-def test_decode_image_is_clearly_stubbed(docs):
+def _bmp(w: int, h: int, bpp: int = 24) -> bytes:
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)      # size, reserved, offset
+        + struct.pack("<IiiHH", 40, w, h, 1, bpp)  # BITMAPINFOHEADER head
+        + b"\x00" * 24                             # rest of DIB + stub pixels
+    )
+
+
+def test_decode_image_bmp_ppm(spark):
+    """Generated BMP / netpbm fixtures decode end-to-end through the
+    mapInPandas pipeline (real header parse, no codec library)."""
+    rows = [
+        (0, _bmp(640, 480)),
+        (1, _bmp(32, -16, bpp=32)),             # top-down BMP
+        (2, b"P6\n# a comment\n123 77\n255\n" + b"\x01" * 8),
+        (3, b"P5 12 34 255 " + b"\x02" * 8),
+        (4, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r for r in decode_image(df).collect()}
+    assert (got[0].format, got[0].width, got[0].height, got[0].mode) == ("BMP", 640, 480, "RGB")
+    assert (got[1].format, got[1].width, got[1].height, got[1].mode) == ("BMP", 32, 16, "RGBA")
+    assert (got[2].format, got[2].width, got[2].height, got[2].mode) == ("PPM", 123, 77, "RGB")
+    assert (got[3].format, got[3].width, got[3].height, got[3].mode) == ("PPM", 12, 34, "L")
+    assert got[4].format == "unknown" and got[4].width is None and got[4].mode is None
+
+
+def test_decode_image_codec_formats_still_gated(spark):
+    """PNG/JPEG (codec-requiring) keep the documented
+    NotImplementedError — now at the per-blob grain."""
+    from gazelle_plugin_spark.operators.multimodal import decode_header
+
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(attach_blob(docs))
+        decode_header(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_header(b"\xff\xd8\xff\xe0....")
 
 
 def test_sample_frames_explodes(docs):
