@@ -230,8 +230,15 @@ class _WorkerHandle:
             text=True,
             env=os.environ,
         )
-        ready = json.loads(p.stdout.readline())
-        assert ready.get("ready"), f"{self.kind} worker failed: {ready}"
+        try:
+            ready = json.loads(p.stdout.readline())
+            assert ready.get("ready"), f"{self.kind} worker failed: {ready}"
+        except Exception:
+            # never leak a half-started JVM: callers only mark the
+            # side dead, so the orphan would keep its 4g heap and add
+            # noise to every remaining measurement
+            p.kill()
+            raise
         return p
 
     def stop(self):
@@ -379,14 +386,25 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     if compare:
-        # LAST key on purpose: the driver keeps only the JSON tail, so
-        # per-query vanilla/engine ratios must survive truncation
+        # Tail keys on purpose: the driver keeps only the JSON tail,
+        # so per-query vanilla/engine ratios must survive truncation
         # (round-6 verdict item 4). >1.0 = engine faster.
-        result["ratios"] = {
+        rd = {
             n: round(vtimings[n] / timings[n], 3)
             for n in names
             if timings.get(n) and vtimings.get(n)
         }
+        result["ratios"] = rd
+        # ... and the single headline number goes LAST so it survives
+        # even when the ratios dict itself is cut (round-7 verdict
+        # item 8): geomean + the worst queries for either side.
+        if rd:
+            gm = round(math.exp(sum(math.log(r) for r in rd.values()) / len(rd)), 4)
+            worst = sorted(rd.items(), key=lambda kv: kv[1])[:3]
+            result["summary"] = {
+                "geomean": gm,
+                "worst": [{"q": n, "ratio": r} for n, r in worst],
+            }
     print(json.dumps(result))
 
 

@@ -59,77 +59,45 @@ def load_all() -> None:
 #: ≥1 prior CORRECTNESS_r* rotate OUT to the local oracle gate (which
 #: runs the identical compare at the same scale — demotion ≠ removal);
 #: never-driver-verified rows rotate IN; freshly-FIXED rows stay in
-#: for at least one more round (the 9 events_* rows this round). q1
-#: stays first: entry() depends on it. Every window entry has a
-#: DuckDB oracle except ROWS_ONLY_WINDOW (driver records its weaker
-#: rows-only check for those — better than no external evidence).
+#: for at least one more round. Stalest-evidence rows also rotate back
+#: in so driver evidence ages out within ~2 rounds (round-7 verdict
+#: item 7). q1 stays first: entry() depends on it. Every window entry
+#: carries a full DuckDB hash oracle (ROWS_ONLY_WINDOW is empty since
+#: round 8).
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # round-7 rotation (round-6 verdict item 1): the 12 queries added
-    # late in round 6 that have never had a driver-side CORRECTNESS
-    # row rotate IN (all were green under the identical local oracle
-    # compare); with these verified, every registered query has been
-    # driver-green at least once.
-    "doc_cluster_dedup",
-    "doc_mixture_sample",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_rarity",
-    "events_decay",
-    "rel_bitmap_distinct",
-    "rel_hll_union",
-    "rel_merge_upsert",
-    "rel_open_intervals",
-    "rel_regression",
-    "rel_trade_pagerank",
-    # NEW in round 7, never driver-verified:
-    "ds_multichannel_profit",  # q5/q77 union-channel rollup report
-    "ds_growth_chain",         # q31 six-way growth-ratio chain
-    "ds_demo_exists",          # q35/q69 EXISTS+NOT EXISTS combo
-    "ds_join_chain",           # q64 chained multi-round join
-    "ds_or_bands",             # q13/q48 disjunctive band residual
-    "ds_best_worst",           # q44 dual-end rank join
-    "expr_url",                # parse_url family vs regex oracle
-    "orc_ssb2_1",              # ORC scan path vs the parquet oracle
-    # Rows below are green-once (r6) second confirmations filling the
-    # remaining slots; rows green in >=1 earlier round (the 13
-    # round-5-debt rows verified r6, q2, doc_simhash_neardup,
-    # expr_datetime, rel_approx_agg, the whole SSB flight, ...) rotate
-    # out to the local oracle gate (demotion != removal).
-    "mm_byte_features",
-    "ds_cum_fullouter",    # q51 cumulative full-outer
-    "ds_channel_anti",     # q78 channel anti chain
-    "ds_returns_adjust",   # q93 returns correction
-    "ds_time_bands",       # q88 banded counts
-    # full VALUES-list oracle since round 8 (generated from the
-    # pure-Python murmur3/xxhash64 implementations in
-    # functions/hash_reference.py) — stays in for the driver to
-    # confirm the upgraded row
-    "expr_hash_native",
-    "emb_semdedup",     # new r7: semantic dedup (cluster-bucketed)
-    "events_scd2",      # new r7: SCD-2 validity-interval history
-    "doc_cms_heavyhitters",     # new r7: count-min frequency sketch
-    "doc_bloom_contamination",  # new r7: Bloom-filter decontamination
-    "doc_hash_embed",
-    "emb_kmeans",
-    "bkt_colocated_join",  # new r7: bucketed zero-exchange join
-    "ds_lochierarchy",  # new: q36 rank-within-rollup-level
-    "ds_dual_rank",     # new: q49 dual rank filter
-    "emb_hard_negatives",  # new r7: contrastive hard-negative mining
-    "rel_exact_percentiles",  # new r7: exact quantiles grade the sketch
-    "events_rfm",       # new: RFM quartile segmentation
-    "events_streak",    # new: gaps-and-islands day streaks
-    "emb_pq",           # new: product quantization codes
-    "ds_channel_overlap",  # new: q97 full-outer overlap counts
-    "ds_rev_histogram",    # new: q54 revenue-segment histogram
-    "ds_band_distinct",    # new: q28 multi-distinct band aggregates
-    "ds_latency_pivot",    # new: q62/q99 latency band pivot
-    "doc_chunk_dedup",     # new: CCNet chunk-grain keep-first dedup
-    "doc_dup_ngram_coverage",  # new: FineWeb dup-ngram diagnostic
-    "rel_window_cntd",     # new: COUNT(DISTINCT) OVER rewrite
-    "events_gapfill",      # new: hourly grid densify + forward fill
-    "events_ohlc",         # new: OHLC resample via min_by/max_by
+    # NEW in round 8, never driver-verified: the reference's verbatim
+    # SQL-text corpus entries (plans/sqltext.py)
+    "sqltext_q5",
+    "sqltext_q9",
+    "sqltext_q18",
+    "sqltext_ssb1_1",
+    "sqltext_ssb2_1",
+    "sqltext_ssb4_2",
+    # PLAN CHANGED in round 8 (shuffle-free centroid argmin + salted
+    # hot-bucket guard) — need fresh driver evidence:
+    "emb_ivf_search",
+    "doc_minhash_neardup",
+    # FRESHLY FIXED/CHANGED in round 8, stay one more round:
+    "emb_semdedup",       # skew guard + argmin rewrite
+    "expr_hash_native",   # upgraded rows-only -> VALUES-list oracle
+    "mm_byte_features",   # vectorized batch body (mm_ family slot)
+    # oldest events_ evidence (r05) — family slot + staleness refresh
+    "events_asof_join",
+    # STALE-EVIDENCE refresh (round-7 verdict item 7): these rows'
+    # last driver-side green was r02 — re-verify the whole TPC-H tail,
+    # the full SSB flight, the r02 rel_ rollup family, and the stalest
+    # ds_ row; the 10 remaining r02 ds_* rows rotate in next round.
+    "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11", "q12",
+    "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
+    "q22",
+    "ssb1_1", "ssb1_2", "ssb1_3",
+    "ssb2_1", "ssb2_2", "ssb2_3",
+    "ssb3_1", "ssb3_2", "ssb3_3", "ssb3_4",
+    "ssb4_1", "ssb4_2", "ssb4_3",
+    "rel_rollup", "rel_cube", "rel_grouping_sets",
+    "ds_brand_month",  # stalest ds_ row (r02) — ds_ family slot
 )
 
 #: Window entries with NO DuckDB oracle. Empty since round 8:

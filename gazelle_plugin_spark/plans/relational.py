@@ -1219,7 +1219,8 @@ def bkt_colocated_join(spark, sf_dir):
     into a local zip of bucket files. The mirror is built per
     session+process (pid-suffixed table names), so concurrent bench
     JVMs never write the same warehouse path; repeated calls in one
-    session reuse the catalog entry.
+    session reuse the catalog entry, and mirrors left by DEAD
+    processes are dropped on entry so the warehouse stays bounded.
     """
     import os
 
@@ -1239,6 +1240,27 @@ def bkt_colocated_join(spark, sf_dir):
         "CREATE DATABASE IF NOT EXISTS bktdb "
         f"LOCATION '{os.path.join(repo_root, '.bkt_warehouse')}'"
     )
+
+    def drop_stale() -> None:
+        # pid-suffixed mirrors of processes that no longer exist are
+        # garbage — remove them so .bkt_warehouse stays bounded by the
+        # number of LIVE processes (each recycled bench worker used to
+        # leave one behind forever). Filesystem-level on purpose: a
+        # fresh process's metastore does not know the old tables, so
+        # SHOW TABLES cannot see them. A live process's directory is
+        # never touched (os.kill(pid, 0) liveness probe).
+        import shutil
+
+        wh = os.path.join(repo_root, ".bkt_warehouse")
+        for d in os.listdir(wh) if os.path.isdir(wh) else []:
+            tail = d.rsplit("_", 1)[-1]
+            if d.startswith("bkt_") and tail.isdigit() and int(tail) != pid:
+                try:
+                    os.kill(int(tail), 0)
+                except OSError:
+                    shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+
+    drop_stale()
 
     def mirror(name: str, key: str) -> str:
         tbl = f"bktdb.bkt_{name}_{slug}_{pid}"

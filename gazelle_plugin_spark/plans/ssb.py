@@ -468,10 +468,13 @@ def _orc_mirror(spark: SparkSession, sf_dir: str) -> str:
     oracle rather than a round-trip-only unit test.
 
     The mirror lives under the repo's .orc_cache/<sf>/ (gitignored)
-    and is keyed by a _SUCCESS marker per table — concurrent or
-    repeated runs rewrite only missing tables.
+    and is keyed by a _SUCCESS marker per table. Concurrent first-time
+    runs are safe: each writer stages into a pid-suffixed temp dir and
+    atomically renames it into place; whoever loses the rename race
+    discards its staging copy and uses the winner's.
     """
     import os
+    import shutil
 
     from gazelle_plugin_spark.sources import io
 
@@ -483,8 +486,22 @@ def _orc_mirror(spark: SparkSession, sf_dir: str) -> str:
     )
     for name in _ORC_TABLES:
         dst = os.path.join(base, name)
-        if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-            io.write(t(spark, sf_dir, name), dst, fmt="orc")
+        marker = os.path.join(dst, "_SUCCESS")
+        if os.path.exists(marker):
+            continue
+        # a dir without its marker is a corpse from a crashed run
+        shutil.rmtree(dst, ignore_errors=True)
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        io.write(t(spark, sf_dir, name), tmp, fmt="orc")
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        else:
+            try:
+                os.rename(tmp, dst)
+            except OSError:  # concurrent winner appeared mid-write
+                shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise RuntimeError(f"ORC mirror for {name} failed to materialize")
     return base
 
 

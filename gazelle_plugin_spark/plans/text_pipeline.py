@@ -2094,7 +2094,7 @@ def doc_bloom_contamination(spark, sf_dir):
     """Bloom-filter benchmark decontamination — the PROBABILISTIC
     scale path beside doc_contamination's exact broadcast set. The
     benchmark's shingles fold into an m={BLOOM_M}, k={BLOOM_K} Bloom
-    filter (a fixed 512-byte bitset however large the benchmark
+    filter (a fixed 4 KiB bitset however large the benchmark
     grows); each corpus shingle is flagged iff ALL k of its bit
     positions are set. The query grades the filter per document:
     exact overlap, bloom overlap (always >=), and the false-positive
