@@ -49,6 +49,7 @@ def load_all() -> None:
         similarity_queries,
         multimodal,
         sqltext,
+        sqltext_tpcds,
     )
 
 
@@ -68,13 +69,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
     # NEW in round 8, never driver-verified: the reference's verbatim
-    # SQL-text corpus entries (plans/sqltext.py)
+    # SQL-text corpus entries (plans/sqltext.py + sqltext_tpcds.py)
     "sqltext_q5",
     "sqltext_q9",
     "sqltext_q18",
     "sqltext_ssb1_1",
     "sqltext_ssb2_1",
     "sqltext_ssb4_2",
+    "dstext_q3",
+    "dstext_q10",
+    "dstext_q19",
+    "dstext_q42",
+    "dstext_q43",
+    "dstext_ss_max",
     # PLAN CHANGED in round 8 (shuffle-free centroid argmin + salted
     # hot-bucket guard) — need fresh driver evidence:
     "emb_ivf_search",
@@ -89,14 +96,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # last driver-side green was r02 — re-verify the whole TPC-H tail,
     # the full SSB flight, the r02 rel_ rollup family, and the stalest
     # ds_ row; the 10 remaining r02 ds_* rows rotate in next round.
-    "q3", "q4", "q5", "q6", "q7", "q8", "q9", "q10", "q11", "q12",
-    "q13", "q14", "q15", "q16", "q17", "q18", "q19", "q20", "q21",
+    # (q4/q12/q14/q20, rel_cube, rel_grouping_sets deferred to r09 to
+    # make room for the never-verified dstext_ rows above)
+    "q3", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
+    "q13", "q15", "q16", "q17", "q18", "q19", "q21",
     "q22",
     "ssb1_1", "ssb1_2", "ssb1_3",
     "ssb2_1", "ssb2_2", "ssb2_3",
     "ssb3_1", "ssb3_2", "ssb3_3", "ssb3_4",
     "ssb4_1", "ssb4_2", "ssb4_3",
-    "rel_rollup", "rel_cube", "rel_grouping_sets",
+    "rel_rollup",  # rel_ family slot
     "ds_brand_month",  # stalest ds_ row (r02) — ds_ family slot
 )
 

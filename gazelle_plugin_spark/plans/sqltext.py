@@ -327,15 +327,25 @@ FITTED_SUBS: dict[str, dict[str, str]] = {
 }
 
 
+def sub_literals(text: str, subs: dict[str, str]) -> str:
+    """Apply literal-only substitutions, longest key first. Quoted
+    keys replace verbatim; bare-number keys replace only as WHOLE
+    numbers (regex word boundaries) — a plain substring replace would
+    silently corrupt unrelated digit runs (e.g. TPC-DS Julian-day
+    partition lists contain every short number)."""
+    for old, new in sorted(subs.items(), key=lambda kv: -len(kv[0])):
+        if old.startswith("'"):
+            text = text.replace(old, new)
+        else:
+            text = re.sub(rf"\b{re.escape(old)}\b", new, text)
+    return text
+
+
 def fitted_text(family: str, name: str) -> str:
     text = load_text(family, name)
     if family == "tpch":
         text = _shift_dates(text)
-    for old, new in sorted(
-        FITTED_SUBS.get(name, {}).items(), key=lambda kv: -len(kv[0])
-    ):
-        text = text.replace(old, new)
-    return text
+    return sub_literals(text, FITTED_SUBS.get(name, {}))
 
 
 # ---------------------------------------------------------------------------

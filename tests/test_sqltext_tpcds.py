@@ -1,0 +1,99 @@
+"""The reference's modified-TPC-DS corpus vs DuckDB
+(plans/sqltext_tpcds.py): all 21 files x (verbatim, fitted) run the
+IDENTICAL text on both engines over the same compatibility-view
+definitions. Same compare policy as tests/test_sqltext.py: positional
+columns, exact non-numeric, 1e-6 tolerance on numerics (decimal
+avg/ratio result-scale differences are representation, not
+semantics)."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from gazelle_plugin_spark.catalog import ALL_TABLES, table_path
+from gazelle_plugin_spark.plans import sqltext_tpcds as dx
+
+from .conftest import SF_MED
+
+pytestmark = pytest.mark.skipif(
+    not dx.tpcds_corpus_available(),
+    reason="reference TPC-DS SQL corpus not present on this machine",
+)
+
+
+@pytest.fixture(scope="module")
+def dsduck():
+    """Module-private DuckDB session with Spark's null ordering
+    (NULLS FIRST on ASC, LAST on DESC). Verbatim texts like q27 do
+    ``ORDER BY nullable LIMIT n`` — under DuckDB's default NULLS LAST
+    the two engines pick different top-n row SETS, which no post-hoc
+    sort can reconcile. The setting is database-global, so this
+    module gets its own connection instead of mutating the shared
+    ``duck`` fixture."""
+    con = duckdb.connect()
+    con.execute("SET default_null_order='nulls_first_on_asc_last_on_desc'")
+    for name in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{table_path(SF_MED, name)}')"
+        )
+    yield con
+    con.close()
+
+#: fitted variants allowed to be empty (none expected; fill only with
+#: a documented structural reason)
+_EMPTY_OK: set[str] = set()
+
+
+def _compare(spark, duck, name: str, fitted: bool) -> int:
+    s = dx.run_tpcds_text(spark, SF_MED, name, fitted=fitted).toPandas()
+    d = duck.sql(dx.tpcds_oracle_sql(name, fitted=fitted)).df()
+    assert len(s) == len(d), f"{name}: rows {len(s)} vs {len(d)}"
+    assert len(s.columns) == len(d.columns)
+    d = d.copy()
+    d.columns = list(s.columns)
+    for frame in (s, d):
+        for c in frame.columns:
+            if pd.api.types.is_datetime64_any_dtype(frame[c]):
+                frame[c] = frame[c].astype("datetime64[us]")
+    key = list(s.columns)
+    s = s.sort_values(key, kind="mergesort").reset_index(drop=True)
+    d = d.sort_values(key, kind="mergesort").reset_index(drop=True)
+    for c in s.columns:
+        if pd.api.types.is_numeric_dtype(s[c]) and pd.api.types.is_numeric_dtype(d[c]):
+            a = s[c].astype(float).to_numpy()
+            b = d[c].astype(float).to_numpy()
+            both_nan = pd.isna(a) & pd.isna(b)
+            assert bool(
+                np.all(both_nan | np.isclose(a, b, rtol=1e-6, atol=1e-6))
+            ), f"{name}: numeric column {c!r} differs"
+        else:
+            assert s[c].equals(d[c]), f"{name}: column {c!r} differs"
+    return len(s)
+
+
+@pytest.mark.parametrize("name", dx.TPCDS_NAMES)
+def test_verbatim_tpcds_text(spark, dsduck, name):
+    _compare(spark, dsduck, name, fitted=False)
+
+
+@pytest.mark.parametrize("name", dx.TPCDS_NAMES)
+def test_fitted_tpcds_text(spark, dsduck, name):
+    rows = _compare(spark, dsduck, name, fitted=True)
+    if name not in _EMPTY_OK:
+        assert rows > 0, f"{name}: fitted substitution is vacuous"
+
+
+def test_fitted_changes_only_literals():
+    def strip(t: str) -> list[str]:
+        return re.split(r"'[^']*'|\b\d+\b", t)
+
+    for name in dx.TPCDS_NAMES:
+        a = dx.load_text(dx.TPCDS_FAMILY, name)
+        b = dx.tpcds_fitted_text(name)
+        assert strip(a) == strip(b), f"{name}: non-literal drift"
