@@ -50,6 +50,7 @@ def load_all() -> None:
         multimodal,
         sqltext,
         sqltext_tpcds,
+        layout,
     )
 
 
