@@ -813,6 +813,183 @@ def emb_pq(spark, sf_dir):
     )
 
 
+_SQL_SDIMS = f"""
+  SELECT vec_id, CAST((pos - 1) // {PQ_SUB_DIM} AS INT) AS sub, pos, x
+  FROM (
+    SELECT vec_id, g.i AS pos, embedding[g.i]::DOUBLE AS x
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+  )
+"""
+
+#: per-(vector, subspace, codeword) exact-decimal squared distance —
+#: shared by the code assignment and the query-side ADC tables
+_SQL_PQ_D2 = f"""
+  SELECT s.vec_id, s.sub, cb.code,
+         SUM(CAST(ROUND((s.x - cb.c) * (s.x - cb.c), 8)
+                  AS DECIMAL(20,8))) AS d2
+  FROM sdims s JOIN cb ON s.pos = cb.pos
+  GROUP BY s.vec_id, s.sub, cb.code
+"""
+
+
+@query(
+    "emb_ivfpq_search",
+    oracle=f"""
+WITH v AS ({_SQL_VECTORS}),
+cent AS ({_SQL_CENTROIDS}),
+assign AS ({_SQL_ASSIGN}),
+sdims AS ({_SQL_SDIMS}),
+cb AS (SELECT vec_id AS code, pos, x AS c FROM sdims WHERE vec_id < {PQ_K}),
+d AS ({_SQL_PQ_D2}),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code) AS rk
+    FROM d
+  ) WHERE rk = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS qe, n2 AS qn2 FROM v
+      WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT q_id, c_label FROM (
+    SELECT q.q_id, c.c_label,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             ROUND({_sql_dot('q.qe', 'c.ce')}
+                   / sqrt(q.qn2 * {_sql_dot('c.ce', 'c.ce')}), {SIM_DECIMALS}) DESC,
+             c.c_label) AS rk
+    FROM q CROSS JOIN cent c
+  ) WHERE rk <= {N_PROBE}
+),
+lut AS (SELECT vec_id AS q_id, sub, code, d2 FROM d
+        WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT p.q_id, a.vec_id, SUM(l.d2) AS adc
+  FROM probes p
+  JOIN assign a ON a.c_label = p.c_label
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN lut l ON l.q_id = p.q_id AND l.sub = c.sub AND l.code = c.code
+  WHERE a.vec_id <> p.q_id
+  GROUP BY p.q_id, a.vec_id
+)
+SELECT q_id, vec_id, CAST(adc AS DOUBLE) AS adc_d2, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc, vec_id) AS INT) AS rk
+  FROM cand
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+""",
+)
+def emb_ivfpq_search(spark, sf_dir):
+    """IVF-ADC search (Jegou'11 IVFPQ, the memory-bounded big-corpus
+    layout): the coarse quantizer restricts each query to its
+    {N_PROBE} nearest cells (as emb_ivf_search), but candidates are
+    scored from their {PQ_M} product-quantization codes via per-query
+    look-up tables — the candidate scan carries 4 small ints per
+    vector instead of 64 floats (~64x less memory traffic), which is
+    the entire point of the layout at 100 TB.
+
+    Scale shape: centroids, codebook, and the per-query ADC tables
+    ({N_QUERIES} x {PQ_M} x {PQ_K} exact decimals — kilobytes) all
+    broadcast; the code assignment is the emb_pq build pass; the
+    search is a keyed join from probed cells to melted codes to the
+    LUT followed by a combinable per-(query, vector) SUM and a top-k
+    rank. No raw embeddings move after the build. Exact-decimal
+    distance accumulation (:func:`_km_dist2`) keeps every distance
+    bit-identical to the oracle's relational derivation."""
+    v = _vectors(spark, sf_dir)
+    vd = v.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    # coarse centroids + cell assignment (emb_ivf_search's build)
+    dims = v.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), SIM_DECIMALS).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pc, p -> p.c)").alias("ce"),
+        )
+    )
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assign = (
+        _nearest_centroid(v, cent)
+        .select("vec_id", "c_label")
+        .repartition(width, "vec_id")
+    )
+
+    # PQ codes (emb_pq's build pass)
+    def explode_subs(df, id_alias):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
+            F.col("e"),
+        ).select(
+            id_alias,
+            "sub",
+            F.expr(f"slice(e, sub * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})").alias("sv"),
+        )
+
+    corpus_subs = explode_subs(vd, "vec_id")
+    codebook = explode_subs(
+        vd.filter(F.col("vec_id") < PQ_K), "code"
+    ).withColumnRenamed("sv", "cv")
+    w_code = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    codes = (
+        corpus_subs.join(F.broadcast(codebook), "sub")
+        .withColumn("d2", _km_dist2("sv", "cv"))
+        .withColumn("rk", F.row_number().over(w_code))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+    # query-side: probe cells + ADC look-up tables
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    cos_qc = F.round(
+        _dot("qe", "ce") / F.sqrt(F.col("qn2") * _dot("ce", "ce")), SIM_DECIMALS
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "c_label")
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("q_id", "c_label", cos_qc.alias("cos_sim"))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= N_PROBE)
+        .select("q_id", "c_label")
+    )
+    lut = (
+        explode_subs(vd.filter(F.col("vec_id") < N_QUERIES), "q_id")
+        .withColumnRenamed("sv", "qv")
+        .join(F.broadcast(codebook), "sub")
+        .select("q_id", "sub", "code", _km_dist2("qv", "cv").alias("d2"))
+    )
+
+    # search: probed cells -> melted codes -> LUT -> combinable SUM
+    cand = (
+        probes.join(assign, "c_label")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w_rank = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "q_id", "vec_id", F.col("adc").cast("double").alias("adc_d2"), "rk"
+        )
+        .orderBy("q_id", "rk")
+    )
+
+
 #: SemDeDup drop threshold. The synthetic corpus has no planted
 #: near-identical vectors (max pairwise cosine ~0.51), so the
 #: threshold marks "semantically close" — the pipeline is identical

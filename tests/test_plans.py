@@ -26,6 +26,10 @@ BNLJ_ALLOWED = {
     "emb_centroid_assign",
     "emb_neardup_pairs",
     "emb_ivf_search",
+    # same bounded probe cross-join as emb_ivf_search (N_QUERIES x k
+    # broadcast centroids); the candidate scoring itself is keyed
+    # joins (cell id, vec_id, (q_id, sub, code)) + a combinable SUM
+    "emb_ivfpq_search",
     # k broadcast centroids x corpus with rank-1 pruning (the same
     # bounded assignment cross-join as emb_centroid_assign); the pair
     # join itself is an equi-join on the cluster id
