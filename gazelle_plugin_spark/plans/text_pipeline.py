@@ -312,12 +312,9 @@ def doc_minhash_neardup(spark, sf_dir):
     return _neardup_pairs(spark, sf_dir).orderBy("d1", "d2")
 
 
-def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified (jaccard >= threshold) near-dup pairs, unordered —
-    the shared plan under doc_minhash_neardup and
-    doc_neardup_components."""
-    sh = _shingles(spark, sf_dir)
-    mh = _minhash_sig(spark, sf_dir)
+def _band_rows(mh: DataFrame) -> DataFrame:
+    """Melt a MinHash signature frame to one (doc_id, band, b1, b2)
+    row per LSH band."""
     band_arr = F.array(
         *[
             F.struct(
@@ -328,9 +325,18 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(N_BANDS)
         ]
     )
-    bands = mh.select("doc_id", F.explode(band_arr).alias("b")).select(
+    return mh.select("doc_id", F.explode(band_arr).alias("b")).select(
         "doc_id", "b.band", "b.b1", "b.b2"
     )
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified (jaccard >= threshold) near-dup pairs, unordered —
+    the shared plan under doc_minhash_neardup and
+    doc_neardup_components."""
+    sh = _shingles(spark, sf_dir)
+    mh = _minhash_sig(spark, sf_dir)
+    bands = _band_rows(mh)
     # Hot-band guard (operators/skew.py): a band signature shared by
     # more than MINHASH_BUCKET_CAP docs splits into hash-salted
     # sub-buckets, bounding the single-task candidate cost of a
@@ -365,6 +371,113 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+#: Incremental split: docs with doc_id % DELTA_MOD == 0 play the role
+#: of the NEWLY-ARRIVED batch; the rest are the existing base corpus.
+DELTA_MOD = 10
+
+
+@query(
+    "doc_incremental_dedup",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+mh AS ({_SQL_MINHASH}),
+bands AS ({_SQL_BANDS}),
+dband AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = 0),
+bband AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} <> 0),
+cand AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM dband x JOIN bband y
+    ON x.band = y.band AND x.b1 = y.b1 AND x.b2 = y.b2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.d1
+  JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
+  GROUP BY c.d1, c.d2
+),
+matches AS (
+  SELECT d1, COUNT(*) AS m
+  FROM inter
+  JOIN sizes n1 ON d1 = n1.doc_id
+  JOIN sizes n2 ON d2 = n2.doc_id
+  WHERE CAST(i AS DOUBLE) / (n1.n + n2.n - i) >= {JACCARD_THRESHOLD}
+  GROUP BY d1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(m.m, 0) AS BIGINT) AS n_base_dups,
+       COALESCE(m.m, 0) = 0 AS kept
+FROM (SELECT doc_id FROM documents WHERE doc_id % {DELTA_MOD} = 0) d
+LEFT JOIN matches m ON m.d1 = d.doc_id
+ORDER BY d.doc_id
+""",
+)
+def doc_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup dedup: screen a NEWLY-ARRIVED batch
+    (doc_id % {DELTA_MOD} == 0 plays the delta) against the EXISTING
+    base corpus without recomparing the base to itself — the
+    production shape when a shard lands on a 100 TB corpus.
+
+    The LSH band probe is ASYMMETRIC: delta band rows join base band
+    rows only, so candidate cost is |delta| x bucket density —
+    independent of |base|^2, and base x base pairs are never
+    generated. At scale the base band rows are a materialized index
+    (written once, appended per batch: exactly this relation saved as
+    a bucketed table on the band signature), and the delta probe
+    shuffles only the new shard. Verification joins shingles for
+    candidate docs only, as doc_minhash_neardup. Output: every delta
+    doc with its base near-dup count and the keep/drop decision."""
+    sh = _shingles(spark, sf_dir)
+    mh = _minhash_sig(spark, sf_dir)
+    bands = _band_rows(mh)
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    cand = (
+        bands.filter(is_delta)
+        .alias("x")
+        .join(
+            bands.filter(~is_delta).alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.b1") == F.col("y.b1"))
+            & (F.col("x.b2") == F.col("y.b2")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    left = sh.select(F.col("doc_id").alias("d1"), F.col("s").alias("ls"))
+    right = sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("rs"))
+    inter = (
+        cand.join(left, "d1")
+        .join(right, (cand.d2 == right.d2) & (F.col("ls") == F.col("rs")))
+        .groupBy(cand.d1, cand.d2)
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i"))
+    matches = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2"
+        )
+        .filter(jac >= JACCARD_THRESHOLD)
+        .groupBy("d1")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    delta = t(spark, sf_dir, "documents").filter(is_delta).select("doc_id")
+    n_dups = F.coalesce(F.col("m"), F.lit(0)).cast("long")
+    return (
+        delta.join(matches, delta.doc_id == matches.d1, "left")
+        .select(
+            "doc_id",
+            n_dups.alias("n_base_dups"),
+            (n_dups == 0).alias("kept"),
+        )
+        .orderBy("doc_id")
     )
 
 
