@@ -60,6 +60,8 @@ PIPELINE_BENCH = [
     "events_scd2",
     "doc_cms_heavyhitters",
     "doc_bloom_contamination",
+    "doc_incremental_dedup",
+    "emb_ivfpq_search",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))

@@ -83,6 +83,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dstext_q42",
     "dstext_q43",
     "dstext_ss_max",
+    "dstext_q34",
+    "dstext_q46",
+    "dstext_q52",
+    "dstext_q55",
+    "dstext_q68",
+    "dstext_q73",
+    "dstext_q79",
+    # NEW in round 8 (late), never driver-verified: z-order layout
+    # scan, IVF-ADC search, incremental delta-vs-base dedup
+    "rel_zorder_scan",
+    "emb_ivfpq_search",
+    "doc_incremental_dedup",
     # PLAN CHANGED in round 8 (shuffle-free centroid argmin + salted
     # hot-bucket guard) — need fresh driver evidence:
     "emb_ivf_search",
@@ -97,15 +109,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # last driver-side green was r02 — re-verify the whole TPC-H tail,
     # the full SSB flight, the r02 rel_ rollup family, and the stalest
     # ds_ row; the 10 remaining r02 ds_* rows rotate in next round.
-    # (q4/q12/q14/q20, rel_cube, rel_grouping_sets deferred to r09 to
-    # make room for the never-verified dstext_ rows above)
-    "q3", "q5", "q6", "q7", "q8", "q9", "q10", "q11",
-    "q13", "q15", "q16", "q17", "q18", "q19", "q21",
-    "q22",
-    "ssb1_1", "ssb1_2", "ssb1_3",
-    "ssb2_1", "ssb2_2", "ssb2_3",
-    "ssb3_1", "ssb3_2", "ssb3_3", "ssb3_4",
-    "ssb4_1", "ssb4_2", "ssb4_3",
+    # (q4/q7/q10/q12/q13/q14/q15/q17/q20, ssb1_2/2_2/3_2/3_3/4_2,
+    # rel_cube, rel_grouping_sets deferred to r09 to make room for
+    # the never-verified round-8 rows above — never-verified beats
+    # second-confirmation in slot priority)
+    "q3", "q5", "q6", "q8", "q9", "q11",
+    "q16", "q18", "q19", "q21", "q22",
+    "ssb1_1", "ssb1_3",
+    "ssb2_1", "ssb2_3",
+    "ssb3_1", "ssb3_4",
+    "ssb4_1", "ssb4_3",
     "rel_rollup",  # rel_ family slot
     "ds_brand_month",  # stalest ds_ row (r02) — ds_ family slot
 )
