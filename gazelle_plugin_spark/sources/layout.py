@@ -107,6 +107,43 @@ def zorder_write(
     writer.parquet(path)
 
 
+def compact(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a directory of many small files into
+    ``ceil(total_bytes / target_bytes)`` files of ~target size — the
+    small-files remedy for a 100 TB lake (tiny files multiply scan
+    tasks, listing cost, and footer overhead).
+
+    The merge is a ``coalesce`` — a NARROW dependency that packs
+    existing input splits into fewer write tasks with no shuffle; the
+    rows are untouched. The rewrite stages into a sibling temp dir and
+    swaps via two atomic renames, so a concurrent reader sees either
+    the old layout or the new one, never a partial directory.
+
+    Returns the output file count."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_bytes))
+    tmp = f"{path.rstrip('/')}.compact.{os.getpid()}"
+    old = f"{path.rstrip('/')}.old.{os.getpid()}"
+    spark.read.format(fmt).load(path).coalesce(n).write.format(fmt).save(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
 def rowgroup_overlap_fraction(
     path: str, column: str, lo, hi
 ) -> float:

@@ -84,6 +84,30 @@ def test_zorder_layout_is_row_identical(spark, layouts):
     assert a.exceptAll(b).isEmpty()
 
 
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files -> a handful of ~target-size files, row-identical,
+    no stray staging dirs left behind."""
+    import os
+
+    path = str(tmp_path / "frag")
+    li = t(spark, SF_MED, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(64).write.parquet(path)
+    files_before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files_before) == 64
+    before = li.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+
+    n_out = layout.compact(spark, path, target_bytes=512 * 1024)
+    files_after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files_after) == n_out < 16
+    assert not [d for d in os.listdir(tmp_path) if ".old." in d or ".compact." in d]
+    after = spark.read.parquet(path).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s")
+    ).collect()[0]
+    assert (before.n, before.s) == (after.n, after.s)
+
+
 def test_zorder_scan_pushes_filters(spark):
     from gazelle_plugin_spark.plans.layout import rel_zorder_scan
 
