@@ -3,12 +3,15 @@
 Media assets are opaque ``binary`` columns plus a typed metadata
 struct; decode/feature-extract/resize run as Arrow-batched
 ``mapInPandas`` pipelines (the ColumnarArrowEvalPythonExec analog —
-batches cross to Python once, vectorized inside). Codec-free formats
-(BMP, netpbm P5/P6) DECODE NATIVELY from their headers; formats that
-need a codec library the container lacks (PNG/JPEG/GIF/WEBP) raise a
-clearly-marked NotImplementedError at the blob grain. The Spark-side
-contract (schemas, batching, partitioning) is real and tested
-(tests/test_multimodal.py).
+batches cross to Python once, vectorized inside). HEADER metadata
+(format, width, height, mode) parses natively for BMP, netpbm, PNG,
+JPEG, GIF, and WEBP — pure struct reads, no codec library — and is
+total (bad blobs yield None dims, never a mid-batch abort). PIXEL
+decode is native for the uncompressed formats (netpbm, 24/32-bit BMP)
+and raises a clearly-marked env-gated NotImplementedError for
+compressed formats (PNG/JPEG/GIF/WEBP) because the container ships no
+codec. The Spark-side contract (schemas, batching, partitioning) is
+real and tested (tests/test_multimodal.py).
 
 Scale notes (100 TB of media): blobs should live in the lake as
 (metadata parquet + object-store URIs or inline binary <= a few MB);
@@ -57,17 +60,30 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("blob", blob).withColumn("media_meta", meta)
 
 
-def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+#: Peak-memory bound for the vectorized byte-stat kernel: blobs are
+#: processed in row groups whose concatenated bytes stay under this, so
+#: the scratch arrays (concat copy + int32 scatter index + int64 cumsum,
+#: ~13 bytes per blob byte) are bounded per task regardless of how many
+#: rows Arrow packs into a batch. A single blob larger than the chunk
+#: processes alone (blobs are contractually inline <= a few MB).
+BYTE_FEATURE_CHUNK = 64 << 20
+
+
+def extract_byte_features(
+    df: DataFrame, id_col: str = "doc_id", chunk_bytes: int = BYTE_FEATURE_CHUNK
+) -> DataFrame:
     """Arrow-batched feature extraction over the blob column: byte
-    statistics computed vectorized in numpy over the WHOLE batch —
-    all blobs concatenate into one uint8 view and per-blob stats fall
-    out of offset arithmetic (segment sums via cumsum, head bytes via
-    start-index gather, distinct counts via an n x 256 presence
-    matrix). No per-row Python inside the batch: the mapInPandas
-    boundary buys one Arrow crossing, and the body keeps the
-    vectorization it paid for (the ColumnarArrowEvalPythonExec
-    analog). Swap the body for an image/audio featurizer when codecs
-    are available."""
+    statistics computed vectorized in numpy — blobs concatenate into
+    one uint8 view and per-blob stats fall out of offset arithmetic
+    (segment sums via cumsum, head bytes via start-index gather,
+    distinct counts via an n x 256 presence matrix). The concatenation
+    runs over BYTE_FEATURE_CHUNK-bounded row groups so scratch memory
+    is O(chunk), not O(batch bytes): a 10k-row batch of MB-scale blobs
+    would otherwise allocate tens of GB of scatter indices. No per-row
+    Python inside a group: the mapInPandas boundary buys one Arrow
+    crossing, and the body keeps the vectorization it paid for (the
+    ColumnarArrowEvalPythonExec analog). Swap the body for an
+    image/audio featurizer when codecs are available."""
     import numpy as np
 
     names = [f.name for f in BYTE_FEATURES_SCHEMA.fields]
@@ -80,21 +96,29 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 yield pd.DataFrame({k: [] for k in names})
                 continue
             lengths = np.fromiter(map(len, col), dtype=np.int64, count=n)
-            buf = np.frombuffer(b"".join(col), dtype=np.uint8)
-            ends = np.cumsum(lengths)
-            starts = ends - lengths
-            csum = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
-            sums = csum[ends] - csum[starts]
-            mean = np.where(lengths > 0, sums / np.maximum(lengths, 1), 0.0)
-            if buf.size:
-                head_at = buf[np.minimum(starts, buf.size - 1)].astype(np.int32)
-                head = np.where(lengths > 0, head_at, np.int32(-1))
-                presence = np.zeros((n, 256), dtype=bool)
-                presence[np.repeat(np.arange(n), lengths), buf] = True
-                distinct = presence.sum(axis=1).astype(np.int32)
-            else:
-                head = np.full(n, -1, dtype=np.int32)
-                distinct = np.zeros(n, dtype=np.int32)
+            cum = np.cumsum(lengths)
+            mean = np.zeros(n, dtype=np.float64)
+            distinct = np.zeros(n, dtype=np.int32)
+            head = np.full(n, -1, dtype=np.int32)
+            lo = 0
+            while lo < n:
+                base = int(cum[lo - 1]) if lo else 0
+                hi = int(np.searchsorted(cum, base + chunk_bytes, side="left")) + 1
+                hi = min(max(hi, lo + 1), n)
+                glen = lengths[lo:hi]
+                buf = np.frombuffer(b"".join(col[lo:hi]), dtype=np.uint8)
+                ends = np.cumsum(glen)
+                starts = ends - glen
+                csum = np.concatenate(([0], np.cumsum(buf, dtype=np.int64)))
+                sums = csum[ends] - csum[starts]
+                mean[lo:hi] = np.where(glen > 0, sums / np.maximum(glen, 1), 0.0)
+                if buf.size:
+                    head_at = buf[np.minimum(starts, buf.size - 1)].astype(np.int32)
+                    head[lo:hi] = np.where(glen > 0, head_at, np.int32(-1))
+                    presence = np.zeros((hi - lo, 256), dtype=bool)
+                    presence[np.repeat(np.arange(hi - lo, dtype=np.int32), glen), buf] = True
+                    distinct[lo:hi] = presence.sum(axis=1).astype(np.int32)
+                lo = hi
             yield pd.DataFrame(
                 {
                     names[0]: pdf[id_col].to_numpy(),
@@ -119,15 +143,62 @@ IMAGE_META_SCHEMA = StructType(
     ]
 )
 
-#: Magic prefixes whose decode requires a real codec library.
-_CODEC_MAGICS = {
-    b"\x89PNG": "PNG",
-    b"\xff\xd8": "JPEG",
-    b"GIF8": "GIF",
-    b"RIFF": "WEBP/RIFF",
-}
-
 _BMP_MODES = {1: "P", 4: "P", 8: "P", 16: "RGB", 24: "RGB", 32: "RGBA"}
+
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+
+#: JPEG markers that carry no length segment (standalone).
+_JPEG_STANDALONE = frozenset({0xD8, 0x01} | set(range(0xD0, 0xD8)))
+
+
+def _jpeg_sof(b: bytes) -> tuple[int, int, str | None] | None:
+    """Walk JPEG marker segments to the first SOFn frame header and
+    return (width, height, mode) — pure struct parsing, no codec. SOFn
+    layout: marker(2) length(2) precision(1) height(2) width(2)
+    ncomponents(1)."""
+    i, n = 2, len(b)
+    while i + 9 < n:
+        if b[i] != 0xFF:
+            return None  # desynced — not a marker stream
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            i += 2
+            continue
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF found
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return w, h, _JPEG_MODES.get(b[i + 9])
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seglen < 2:
+            return None
+        i += 2 + seglen
+    return None
+
+
+def _webp_dims(b: bytes) -> tuple[int | None, int | None]:
+    """WEBP canvas dimensions from the first chunk after the RIFF/WEBP
+    container header — VP8X (extended), VP8 (lossy key frame), or VP8L
+    (lossless) all encode width/height in fixed header bits."""
+    four = b[12:16]
+    if four == b"VP8X" and len(b) >= 30:
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return w, h
+    if four == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+        w = int.from_bytes(b[26:28], "little") & 0x3FFF
+        h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        return w, h
+    if four == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+        bits = int.from_bytes(b[21:25], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    return None, None
 
 
 def _ppm_header(b: bytes) -> tuple[int, int]:
@@ -156,37 +227,126 @@ def _ppm_header(b: bytes) -> tuple[int, int]:
 
 def decode_header(b: bytes) -> tuple[str, int | None, int | None, str | None]:
     """Decode one image blob's (format, width, height, mode) from its
-    header alone — O(header bytes), codec-free for BMP (little-endian
-    BITMAPINFOHEADER fields) and netpbm P5/P6 (ASCII header). Formats
-    that need a real codec (PNG/JPEG/GIF/WEBP) raise the documented
-    NotImplementedError; unrecognized blobs come back as 'unknown'."""
+    header alone — pure struct parsing, O(header bytes), NO codec
+    library for any supported format: BMP (little-endian
+    BITMAPINFOHEADER), netpbm P5/P6 (ASCII), PNG (IHDR chunk), JPEG
+    (SOFn marker walk), GIF (logical screen descriptor), WEBP
+    (VP8/VP8L/VP8X chunk headers). Header decode is TOTAL — it never
+    raises on recognized-but-unparseable blobs (they come back with
+    None dimensions) so one bad blob cannot abort a whole mapInPandas
+    batch; non-image RIFF containers (WAV/AVI) and everything else
+    return their format tag with None dimensions. Only PIXEL decode of
+    compressed formats is env-gated — see :func:`decode_pixels`."""
     import struct
 
-    for magic, fmt in _CODEC_MAGICS.items():
-        if b.startswith(magic):
-            raise NotImplementedError(
-                f"decode_image: {fmt} needs a codec library; this "
-                "environment ships none (BMP and netpbm decode natively)"
-            )
+    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+        if len(b) >= 26 and b[12:16] == b"IHDR":
+            w, h = struct.unpack_from(">II", b, 16)
+            return "PNG", w, h, _PNG_MODES.get(b[25])
+        return "PNG", None, None, None
+    if b.startswith(b"\xff\xd8"):
+        sof = _jpeg_sof(b)
+        if sof is not None:
+            return ("JPEG", *sof)
+        return "JPEG", None, None, None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w, h = struct.unpack_from("<HH", b, 6)
+            return "GIF", w, h, "P"
+        return "GIF", None, None, None
+    if b.startswith(b"RIFF") and len(b) >= 12:
+        # disambiguate the RIFF container: only WEBP is an image
+        kind = b[8:12]
+        if kind == b"WEBP":
+            w, h = _webp_dims(b)
+            return "WEBP", w, h, None
+        if kind == b"WAVE":
+            return "WAV", None, None, None
+        if kind == b"AVI ":
+            return "AVI", None, None, None
+        return "unknown", None, None, None
     if b.startswith(b"BM") and len(b) >= 30:
         width, height = struct.unpack_from("<ii", b, 18)
         bpp = struct.unpack_from("<H", b, 28)[0]
-        # negative height = top-down row order, same raster dimensions
-        return "BMP", width, abs(height), _BMP_MODES.get(bpp, "P")
+        # negative height = top-down row order, same raster dimensions;
+        # negative WIDTH is invalid per the BMP spec — flag with None
+        return (
+            "BMP",
+            width if width > 0 else None,
+            abs(height),
+            _BMP_MODES.get(bpp, "P"),
+        )
     if b[:2] in (b"P5", b"P6") and len(b) > 2 and b[2:3].isspace():
         w, h = _ppm_header(b)
         return "PPM", w, h, "L" if b[:2] == b"P5" else "RGB"
     return "unknown", None, None, None
 
 
+def decode_pixels(b: bytes):
+    """Decode a blob to a raster numpy array. Codec-free formats decode
+    natively: netpbm P5/P6 (raw grayscale / RGB) and uncompressed 24/
+    32-bit BMP. Compressed formats (PNG/JPEG/GIF/WEBP) require a codec
+    library this environment does not ship — the documented env-gated
+    NotImplementedError lives HERE, at the pixel grain, not in header
+    metadata (decode_header is total)."""
+    import struct
+
+    import numpy as np
+
+    fmt, w, h, _mode = decode_header(b)
+    if fmt == "PPM" and w and h:
+        # pixel data starts after the maxval token + one whitespace
+        depth = 1 if b[:2] == b"P5" else 3
+        i, vals = 2, 0
+        while vals < 3 and i < min(len(b), 512):
+            c = b[i : i + 1]
+            if c == b"#":
+                while i < len(b) and b[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                while i < len(b) and b[i : i + 1].isdigit():
+                    i += 1
+                vals += 1
+            else:
+                break
+        i += 1  # single whitespace after maxval
+        px = np.frombuffer(b, dtype=np.uint8, count=w * h * depth, offset=i)
+        return px.reshape((h, w, depth) if depth > 1 else (h, w)).copy()
+    if fmt == "BMP" and w and h:
+        off = struct.unpack_from("<I", b, 10)[0]
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        compression = struct.unpack_from("<I", b, 30)[0] if len(b) >= 34 else 0
+        if bpp in (24, 32) and compression == 0:
+            nch = bpp // 8
+            stride = (w * nch + 3) & ~3  # rows pad to 4-byte boundary
+            rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+            raster = rows.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+            raw_h = struct.unpack_from("<i", b, 22)[0]
+            if raw_h > 0:  # bottom-up row order
+                raster = raster[::-1]
+            return raster[:, :, ::-1].copy()  # BGR(A) -> RGB(A)
+        raise NotImplementedError(
+            f"decode_pixels: BMP bpp={bpp} compression={compression} "
+            "needs a codec library; this environment ships none"
+        )
+    raise NotImplementedError(
+        f"decode_pixels: {fmt} pixel decode needs a codec library; this "
+        "environment ships none (header metadata decodes natively — "
+        "see decode_header)"
+    )
+
+
 def decode_image(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
     """Decode image blobs to (format, width, height, mode) metadata
     via Arrow-batched mapInPandas — the decode stage of the multimodal
-    pipeline. BMP and netpbm (P5/P6) decode natively from their
-    headers (no codec library needed; O(header) per blob, not
-    O(bytes)); codec-requiring formats raise the documented
-    NotImplementedError. tests/test_multimodal.py feeds generated BMP
-    and PPM fixtures through this end-to-end."""
+    pipeline. All six supported formats (BMP, netpbm, PNG, JPEG, GIF,
+    WEBP) parse natively from their headers (no codec library needed;
+    O(header) per blob, not O(bytes)), and the parse is total — a
+    malformed or unknown blob yields a row with None dimensions
+    instead of aborting the batch. tests/test_multimodal.py feeds
+    generated fixtures for every format through this end-to-end."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f.name for f in IMAGE_META_SCHEMA.fields]

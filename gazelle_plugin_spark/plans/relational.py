@@ -1257,8 +1257,12 @@ def bkt_colocated_join(spark, sf_dir):
             if d.startswith("bkt_") and tail.isdigit() and int(tail) != pid:
                 try:
                     os.kill(int(tail), 0)
-                except OSError:
+                except ProcessLookupError:
+                    # ESRCH only: EPERM (PermissionError) means the pid
+                    # EXISTS under another user — leave its mirror alone
                     shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
+                except OSError:
+                    pass
 
     drop_stale()
 

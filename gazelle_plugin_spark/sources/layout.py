@@ -121,22 +121,40 @@ def compact(
     The merge is a ``coalesce`` — a NARROW dependency that packs
     existing input splits into fewer write tasks with no shuffle; the
     rows are untouched. The rewrite stages into a sibling temp dir and
-    swaps via two atomic renames, so a concurrent reader sees either
-    the old layout or the new one, never a partial directory.
+    swaps via two renames. Each rename is atomic, but the SWAP is not:
+    between them ``path`` briefly does not exist, so a concurrent
+    reader can get path-not-found (never a partial directory), and a
+    crash in that window strands the data under ``<path>.old.<pid>`` —
+    recovered automatically on the next ``compact()`` of the same path.
+
+    **Filesystem contract: local FS / HDFS only.** Object stores
+    (S3/GCS) implement rename as copy+delete — neither atomic nor
+    cheap; there a table format with a manifest commit (Iceberg/Delta)
+    is the right compaction vehicle. See SCALE.md.
 
     Returns the output file count."""
+    import glob
     import math
     import os
     import shutil
 
+    base = path.rstrip("/")
+    if not os.path.exists(path):
+        # crash recovery: a previous compact() died between its two
+        # renames — restore the newest stranded snapshot
+        stranded = sorted(glob.glob(f"{base}.old.*"), key=os.path.getmtime)
+        if stranded:
+            os.rename(stranded[-1], path)
+            for extra in stranded[:-1]:
+                shutil.rmtree(extra, ignore_errors=True)
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n = max(1, math.ceil(total / target_bytes))
-    tmp = f"{path.rstrip('/')}.compact.{os.getpid()}"
-    old = f"{path.rstrip('/')}.old.{os.getpid()}"
+    tmp = f"{base}.compact.{os.getpid()}"
+    old = f"{base}.old.{os.getpid()}"
     spark.read.format(fmt).load(path).coalesce(n).write.format(fmt).save(tmp)
     os.rename(path, old)
     os.rename(tmp, path)

@@ -108,6 +108,27 @@ def test_compact_small_files(spark, tmp_path):
     assert (before.n, before.s) == (after.n, after.s)
 
 
+def test_compact_recovers_stranded_swap(spark, tmp_path):
+    """A crash between compact()'s two renames leaves the data under
+    <path>.old.<pid> and no <path>; the next compact() of the same
+    path restores the snapshot before compacting. (The swap contract
+    is local-FS/HDFS only — object stores need a manifest commit; see
+    the compact() docstring and SCALE.md.)"""
+    import os
+
+    path = str(tmp_path / "frag")
+    li = t(spark, SF_MED, "lineitem").select("l_orderkey", "l_quantity").limit(1000)
+    li.repartition(8).write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    # simulate the crash window: first rename done, second never ran
+    os.rename(path, f"{path}.old.99999")
+    assert not os.path.exists(path)
+    n_out = layout.compact(spark, path, target_bytes=512 * 1024)
+    assert n_out >= 1
+    assert spark.read.parquet(path).count() == n_rows
+    assert not [d for d in os.listdir(tmp_path) if ".old." in d or ".compact." in d]
+
+
 def test_zorder_scan_pushes_filters(spark):
     from gazelle_plugin_spark.plans.layout import rel_zorder_scan
 

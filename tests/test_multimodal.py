@@ -71,15 +71,133 @@ def test_decode_image_bmp_ppm(spark):
     assert got[4].format == "unknown" and got[4].width is None and got[4].mode is None
 
 
-def test_decode_image_codec_formats_still_gated(spark):
-    """PNG/JPEG (codec-requiring) keep the documented
-    NotImplementedError — now at the per-blob grain."""
+def _png(w: int, h: int, color_type: int = 6) -> bytes:
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + bytes([8, color_type, 0, 0, 0])
+    )
+
+
+def _jpeg(w: int, h: int, ncomp: int = 3) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 8 + 3 * ncomp)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + bytes([ncomp])
+        + b"\x00" * (3 * ncomp)
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xda\x00\x02"
+
+
+def _gif(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 5
+
+
+def _webp_vp8l(w: int, h: int) -> bytes:
+    import struct
+
+    bits = (w - 1) | ((h - 1) << 14)
+    return (
+        b"RIFF" + struct.pack("<I", 20) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", 8) + b"\x2f" + struct.pack("<I", bits)
+    )
+
+
+def test_decode_header_compressed_formats(spark):
+    """PNG/JPEG/GIF/WEBP dimensions parse from pure struct reads — no
+    codec library — through the full mapInPandas pipeline; non-image
+    RIFF (WAV) is distinguished from WEBP instead of misflagged."""
+    rows = [
+        (0, _png(800, 600)),
+        (1, _jpeg(640, 480)),
+        (2, _gif(320, 200)),
+        (3, _webp_vp8l(100, 50)),
+        (4, b"RIFF\x00\x00\x00\x00WAVEfmt "),   # audio container
+        (5, _png(1, 1)[:10]),                    # truncated PNG
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r for r in decode_image(df).collect()}
+    assert (got[0].format, got[0].width, got[0].height, got[0].mode) == ("PNG", 800, 600, "RGBA")
+    assert (got[1].format, got[1].width, got[1].height, got[1].mode) == ("JPEG", 640, 480, "RGB")
+    assert (got[2].format, got[2].width, got[2].height, got[2].mode) == ("GIF", 320, 200, "P")
+    assert (got[3].format, got[3].width, got[3].height) == ("WEBP", 100, 50)
+    assert got[4].format == "WAV" and got[4].width is None
+    # total parse: a truncated blob yields a row, never a batch abort
+    assert got[5].format == "PNG" and got[5].width is None
+
+
+def test_decode_header_bmp_negative_width_flagged():
+    """Negative BMP width is invalid per spec — flagged as None, not
+    passed through as a nonsense dimension."""
+    import struct
+
     from gazelle_plugin_spark.operators.multimodal import decode_header
 
+    bad = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, -12, 34, 1, 24) + b"\x00" * 24
+    )
+    assert decode_header(bad) == ("BMP", None, 34, "RGB")
+
+
+def test_decode_pixels_native_and_gated():
+    """Pixel decode is native for netpbm and uncompressed 24-bit BMP;
+    compressed formats keep the documented env-gated
+    NotImplementedError (the codec gate lives at the PIXEL grain)."""
+    import struct
+
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    p5 = b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    assert decode_pixels(p5).tolist() == [[1, 2], [3, 4]]
+    # 2x2 24-bit bottom-up BMP: rows stored bottom-first, BGR, 4-byte
+    # padded stride (2*3 -> 8). Image: top = red,green; bottom = blue,white.
+    pix = (
+        bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00"  # bottom row BGR
+        + bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"    # top row BGR
+    )
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 0, 0, 0, 0)
+        + pix
+    )
+    raster = decode_pixels(bmp)
+    assert raster.shape == (2, 2, 3)
+    assert raster[0].tolist() == [[255, 0, 0], [0, 255, 0]]   # red, green
+    assert raster[1].tolist() == [[0, 0, 255], [255, 255, 255]]  # blue, white
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_header(b"\x89PNG\r\n\x1a\n....")
+        decode_pixels(_png(4, 4))
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_header(b"\xff\xd8\xff\xe0....")
+        decode_pixels(_jpeg(4, 4))
+
+
+def test_byte_features_chunked_matches_unchunked(docs):
+    """A tiny chunk bound (forcing one-blob groups) must produce
+    byte-identical features to the one-shot path — the memory bound
+    changes scratch layout only, never results."""
+    base = attach_blob(docs)
+    one = {r.doc_id: r for r in extract_byte_features(base).collect()}
+    chunked = {
+        r.doc_id: r
+        for r in extract_byte_features(base, chunk_bytes=8).collect()
+    }
+    assert set(one) == set(chunked)
+    for k in one:
+        assert (one[k].n_bytes, one[k].mean_byte, one[k].n_distinct_bytes,
+                one[k].head_byte) == (
+            chunked[k].n_bytes, chunked[k].mean_byte,
+            chunked[k].n_distinct_bytes, chunked[k].head_byte)
 
 
 def test_sample_frames_explodes(docs):

@@ -87,3 +87,29 @@ def test_driver_window_is_a_family_cross_section():
         assert any(n.startswith(family) for n in DRIVER_WINDOW), family
     # every registered query is still exported (demotion ≠ removal)
     assert len(qs) >= 100
+
+
+def test_registry_degrades_without_reference_corpus(monkeypatch):
+    """On a machine without the read-only reference checkout, the
+    corpus-gated sqltext_*/dstext_* rows never register — the curated
+    window must drop them gracefully instead of hard-failing the whole
+    203-query registry (round-8 advice)."""
+    import gazelle_plugin_spark.plans as P
+    from gazelle_plugin_spark.plans import sqltext, sqltext_tpcds
+
+    P.load_all()
+    monkeypatch.setattr(sqltext, "corpus_available", lambda: False)
+    monkeypatch.setattr(sqltext_tpcds, "tpcds_corpus_available", lambda: False)
+    pruned = {
+        n: f
+        for n, f in P.QUERIES.items()
+        if not n.startswith(("sqltext_", "dstext_"))
+    }
+    monkeypatch.setattr(P, "QUERIES", pruned)
+    out = P._curated(pruned)
+    assert "q1" in out
+    assert not any(n.startswith(("sqltext_", "dstext_")) for n in out)
+    # unconditional names still hard-fail if genuinely unregistered
+    monkeypatch.setattr(P, "QUERIES", {n: f for n, f in pruned.items() if n != "q1"})
+    with pytest.raises(ValueError, match="q1"):
+        P._curated({})
