@@ -62,3 +62,48 @@ def cap_bucket(
         .withColumn(out, salt)
         .drop("_nsub")
     )
+
+
+def cap_bucket_probe(
+    build: DataFrame,
+    probe: DataFrame,
+    key_cols: Sequence[str],
+    build_id: str,
+    cap: int,
+    out: str = "sub",
+) -> tuple[DataFrame, DataFrame]:
+    """Asymmetric hot-bucket guard for a probe->build bucket join
+    (e.g. delta->base incremental dedup): salt the BUILD side's
+    over-cap buckets exactly like :func:`cap_bucket`, and EXPLODE each
+    probe row across the bucket's full sub-bucket range so every build
+    sub-bucket is still probed.
+
+    Unlike the self-join guard this loses NO recall — the probe visits
+    all sub-buckets of an over-cap bucket — while bounding any single
+    join task's build rows to ~``cap``. Probe duplication cost is
+    ``ceil(bucket/cap)`` rows per (probe row, hot bucket): paid only
+    where the build bucket is pathological, and spread across tasks by
+    the salt. On healthy data both sides keep salt 0 and the join is
+    bit-identical to the unguarded plan (oracles unchanged).
+
+    Join the returned frames on (key_cols..., out)."""
+    keys = list(key_cols)
+    hot = (
+        build.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > cap)
+        .withColumn("_nsub", F.ceil(F.col("_cnt") / F.lit(cap)).cast("int"))
+        .drop("_cnt")
+    )
+    nsub = F.coalesce(F.col("_nsub"), F.lit(1))
+    salted = (
+        build.join(F.broadcast(hot), keys, "left")
+        .withColumn(out, F.pmod(F.xxhash64(F.col(build_id)), nsub).cast("int"))
+        .drop("_nsub")
+    )
+    exploded = (
+        probe.join(F.broadcast(hot), keys, "left")
+        .withColumn(out, F.explode(F.sequence(F.lit(0), nsub - F.lit(1))))
+        .drop("_nsub")
+    )
+    return salted, exploded

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gazelle_plugin_spark.operators.graph import connected_components
-from gazelle_plugin_spark.operators.skew import cap_bucket
+from gazelle_plugin_spark.operators.skew import cap_bucket, cap_bucket_probe
 from gazelle_plugin_spark.plans import query
 from gazelle_plugin_spark.plans._util import md5h60, sql_md5h60, t
 
@@ -435,14 +435,28 @@ def doc_incremental_dedup(spark, sf_dir):
     mh = _minhash_sig(spark, sf_dir)
     bands = _band_rows(mh)
     is_delta = F.col("doc_id") % DELTA_MOD == 0
+    # Hot-bucket guard, ASYMMETRIC flavor (operators/skew.py
+    # cap_bucket_probe): a base band bucket over MINHASH_BUCKET_CAP is
+    # hash-salted into sub-buckets and the delta probe explodes across
+    # the full salt range — every base sub-bucket is still probed, so
+    # unlike the self-join guard this loses NO recall while bounding
+    # any single task to ~cap base rows. No-op (salt 0) on healthy
+    # data; the oracle needs no change.
+    base, delta = cap_bucket_probe(
+        bands.filter(~is_delta),
+        bands.filter(is_delta),
+        ["band", "b1", "b2"],
+        "doc_id",
+        MINHASH_BUCKET_CAP,
+    )
     cand = (
-        bands.filter(is_delta)
-        .alias("x")
+        delta.alias("x")
         .join(
-            bands.filter(~is_delta).alias("y"),
+            base.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.b1") == F.col("y.b1"))
-            & (F.col("x.b2") == F.col("y.b2")),
+            & (F.col("x.b2") == F.col("y.b2"))
+            & (F.col("x.sub") == F.col("y.sub")),
         )
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
@@ -825,12 +839,19 @@ def doc_simhash_neardup(spark, sf_dir):
     bands = sh.select("doc_id", "s", F.explode(band_arr).alias("b")).select(
         "doc_id", "s", "b.band", "b.sig"
     )
+    # Hot-band guard (operators/skew.py): a 15-bit band signature
+    # shared by more than MINHASH_BUCKET_CAP docs (a boilerplate-heavy
+    # corpus collapses SimHash bands) splits into hash-salted
+    # sub-buckets, bounding the single-task candidate cost; a no-op
+    # (salt 0) on healthy data, so the oracle needs no change.
+    bands = cap_bucket(bands, ["band", "sig"], "doc_id", MINHASH_BUCKET_CAP)
     cand = (
         bands.alias("x")
         .join(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.sub") == F.col("y.sub"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(

@@ -94,3 +94,66 @@ def test_production_caps_are_noop(spark):
         .count()
         == 0
     )
+
+
+def test_cap_bucket_probe_no_recall_loss(spark):
+    """Asymmetric guard: a planted hot BASE bucket splits into salted
+    sub-buckets and the probe explodes across the full salt range —
+    the guarded join finds EXACTLY the unguarded pairs (no recall
+    loss), while no single (bucket, salt) build cell exceeds ~cap."""
+    from gazelle_plugin_spark.operators.skew import cap_bucket_probe
+
+    base_rows = [("hot", i) for i in range(300)] + [("cold", i) for i in range(5)]
+    probe_rows = [("hot", 9000 + i) for i in range(7)] + [("cold", 9100)]
+    base = spark.createDataFrame(base_rows, "k string, id long")
+    probe = spark.createDataFrame(probe_rows, "k string, id long")
+    b, p = cap_bucket_probe(base, probe, ["k"], "id", cap=50)
+    got = {
+        (r.pid, r.bid)
+        for r in p.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.k") == F.col("y.k")) & (F.col("x.sub") == F.col("y.sub")),
+        )
+        .select(F.col("x.id").alias("pid"), F.col("y.id").alias("bid"))
+        .collect()
+    }
+    want = {(pr[1], br[1]) for pr in probe_rows for br in base_rows if pr[0] == br[0]}
+    assert got == want  # every base row still probed — zero recall loss
+    cell_sizes = b.groupBy("k", "sub").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert max(r["n"] for r in cell_sizes) <= 2 * 50
+    cold = [r for r in cell_sizes if r["k"] == "cold"]
+    assert len(cold) == 1 and cold[0]["sub"] == 0  # healthy bucket untouched
+
+
+def test_incremental_dedup_guard_matches_oracle_shape(spark, monkeypatch):
+    """doc_incremental_dedup with the cap forced tiny must return
+    IDENTICAL results to the shipped cap — the asymmetric guard probes
+    all sub-buckets, so unlike the self-join guard even a binding cap
+    changes nothing but task sizing."""
+    from gazelle_plugin_spark.plans import QUERIES
+
+    full = QUERIES["doc_incremental_dedup"](spark, SF_SMALL).toPandas()
+    monkeypatch.setattr(tp, "MINHASH_BUCKET_CAP", 2)
+    capped = QUERIES["doc_incremental_dedup"](spark, SF_SMALL).toPandas()
+    assert full.equals(capped)
+    assert (~full.kept).sum() > 0  # planted near-dups keep surfacing
+
+
+def test_simhash_cap_is_subset(spark, monkeypatch):
+    """SimHash band self-join under a tiny cap: candidate pairs are a
+    subset of the uncapped pairs and planted near-dups keep
+    surfacing (same contract as the MinHash guard)."""
+    from gazelle_plugin_spark.plans import QUERIES
+
+    full = {
+        (r.d1, r.d2)
+        for r in QUERIES["doc_simhash_neardup"](spark, SF_SMALL).collect()
+    }
+    monkeypatch.setattr(tp, "MINHASH_BUCKET_CAP", 3)
+    capped = {
+        (r.d1, r.d2)
+        for r in QUERIES["doc_simhash_neardup"](spark, SF_SMALL).collect()
+    }
+    assert capped <= full
+    assert len(full) > 0 and len(capped) > 0
