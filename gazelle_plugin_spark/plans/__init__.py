@@ -50,6 +50,7 @@ def load_all() -> None:
         multimodal,
         sqltext,
         sqltext_tpcds,
+        sqltext_tpcds_full,
         layout,
     )
 
@@ -69,58 +70,56 @@ def load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # NEW in round 8, never driver-verified: the reference's verbatim
-    # SQL-text corpus entries (plans/sqltext.py + sqltext_tpcds.py)
-    "sqltext_q5",
-    "sqltext_q9",
-    "sqltext_q18",
-    "sqltext_ssb1_1",
-    "sqltext_ssb2_1",
-    "sqltext_ssb4_2",
-    "dstext_q3",
-    "dstext_q10",
-    "dstext_q19",
-    "dstext_q42",
-    "dstext_q43",
-    "dstext_ss_max",
-    "dstext_q34",
-    "dstext_q46",
-    "dstext_q52",
-    "dstext_q55",
-    "dstext_q68",
-    "dstext_q73",
-    "dstext_q79",
-    # NEW in round 8 (late), never driver-verified: z-order layout
-    # scan, IVF-ADC search, incremental delta-vs-base dedup
-    "rel_zorder_scan",
-    "emb_ivfpq_search",
-    "doc_incremental_dedup",
-    # PLAN CHANGED in round 8 (shuffle-free centroid argmin + salted
-    # hot-bucket guard) — need fresh driver evidence:
-    "emb_ivf_search",
-    "doc_minhash_neardup",
-    # FRESHLY FIXED/CHANGED in round 8, stay one more round:
-    "emb_semdedup",       # skew guard + argmin rewrite
-    "expr_hash_native",   # upgraded rows-only -> VALUES-list oracle
-    "mm_byte_features",   # vectorized batch body (mm_ family slot)
-    # oldest events_ evidence (r05) — family slot + staleness refresh
-    "events_asof_join",
-    # STALE-EVIDENCE refresh (round-7 verdict item 7): these rows'
-    # last driver-side green was r02 — re-verify the whole TPC-H tail,
-    # the full SSB flight, the r02 rel_ rollup family, and the stalest
-    # ds_ row; the 10 remaining r02 ds_* rows rotate in next round.
-    # (q4/q7/q10/q12/q13/q14/q15/q17/q20, ssb1_2/2_2/3_2/3_3/4_2,
-    # rel_cube, rel_grouping_sets deferred to r09 to make room for
-    # the never-verified round-8 rows above — never-verified beats
-    # second-confirmation in slot priority)
-    "q3", "q5", "q6", "q8", "q9", "q11",
-    "q16", "q18", "q19", "q21", "q22",
-    "ssb1_1", "ssb1_3",
-    "ssb2_1", "ssb2_3",
-    "ssb3_1", "ssb3_4",
-    "ssb4_1", "ssb4_3",
-    "rel_rollup",  # rel_ family slot
-    "ds_brand_month",  # stalest ds_ row (r02) — ds_ family slot
+    # NEW in round 9, never driver-verified: the reference's FULL
+    # TPC-DS corpus tranche (plans/sqltext_tpcds_full.py) — 28
+    # value-safe texts executed verbatim over the widened star catalog
+    "tpcdsfull_q10",
+    "tpcdsfull_q15",
+    "tpcdsfull_q16",
+    "tpcdsfull_q21",
+    "tpcdsfull_q23a",
+    "tpcdsfull_q25",
+    "tpcdsfull_q29",
+    "tpcdsfull_q30",
+    "tpcdsfull_q33",
+    "tpcdsfull_q37",
+    "tpcdsfull_q40",
+    "tpcdsfull_q45",
+    "tpcdsfull_q48",
+    "tpcdsfull_q50",
+    "tpcdsfull_q56",
+    "tpcdsfull_q60",
+    "tpcdsfull_q62",
+    "tpcdsfull_q69",
+    "tpcdsfull_q71",
+    "tpcdsfull_q72",
+    "tpcdsfull_q81",
+    "tpcdsfull_q82",
+    "tpcdsfull_q84",
+    "tpcdsfull_q86",
+    "tpcdsfull_q88",
+    "tpcdsfull_q93",
+    "tpcdsfull_q97",
+    "tpcdsfull_q99",
+    # PLAN/IMPL CHANGED in round 9 — need fresh driver evidence:
+    "doc_incremental_dedup",  # asymmetric hot-bucket guard (cap_bucket_probe)
+    "doc_simhash_neardup",    # band self-join hot-bucket guard
+    "mm_byte_features",       # chunk-bounded byte-stat kernel (mm_ slot)
+    # stalest per-family evidence refresh (emb_ r04, events_/expr_ r05)
+    "emb_centroid_assign",
+    "events_frames",
+    "expr_conditional",
+    # STALE-EVIDENCE refresh: every remaining slot goes to rows whose
+    # last driver green was r02 — all 10 r02 ds_ rows, the r02 rel_
+    # rollup family, and the head of the r02 TPC-H/SSB list. The 12
+    # r02 stragglers (q7/q10/q12/q13/q14/q15/q17/q20,
+    # ssb2_2/3_2/3_3/4_2) rotate in r10 — never-verified beat
+    # second-confirmation for this round's slots.
+    "ds_class_share", "ds_dow_pivot", "ds_exists_disjunction",
+    "ds_freq_buyers", "ds_rev_fraction", "ds_rollup_star",
+    "ds_ss_max", "ds_trip_mismatch", "ds_week_compare", "ds_window_dev",
+    "rel_cube", "rel_grouping_sets", "rel_union_all",
+    "q4", "ssb1_2",
 )
 
 #: Window entries with NO DuckDB oracle. Empty since round 8:
@@ -139,13 +138,15 @@ def _conditionally_absent() -> frozenset[str]:
     read-only reference checkout exists (plans/sqltext.py REF_SQL_ROOT);
     everywhere else the registry must degrade gracefully rather than
     hard-fail on the curated window."""
-    from gazelle_plugin_spark.plans import sqltext, sqltext_tpcds
+    from gazelle_plugin_spark.plans import sqltext, sqltext_tpcds, sqltext_tpcds_full
 
     absent: set[str] = set()
     if not sqltext.corpus_available():
         absent.update(n for n in DRIVER_WINDOW if n.startswith("sqltext_"))
     if not sqltext_tpcds.tpcds_corpus_available():
         absent.update(n for n in DRIVER_WINDOW if n.startswith("dstext_"))
+    if not sqltext_tpcds_full.tpcds_full_corpus_available():
+        absent.update(n for n in DRIVER_WINDOW if n.startswith("tpcdsfull_"))
     return frozenset(absent)
 
 

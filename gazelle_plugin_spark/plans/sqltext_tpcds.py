@@ -112,6 +112,27 @@ def _word2(d: _Dialect, expr: str) -> str:
     return f"string_split({expr}, ' ')[2]"
 
 
+def _idiv(d: _Dialect, expr: str, n: int) -> str:
+    """Integer division, identical in both dialects (Spark DIV vs
+    DuckDB //; a plain / would be exact division in DuckDB)."""
+    if d is _SPARK:
+        return f"(({expr}) DIV {n})"
+    return f"(({expr}) // {n})"
+
+
+def _seconds(d: _Dialect) -> str:
+    """A one-column (t) relation of every second-of-day 0..86399."""
+    if d is _SPARK:
+        return "SELECT explode(sequence(0, 86399)) AS t"
+    return "SELECT unnest(generate_series(0, 86399)) AS t"
+
+
+def _pick(expr: str, *vals: str) -> str:
+    """CASE expr % len(vals) -> literal list (deterministic domain)."""
+    arms = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(vals))
+    return f"CASE CAST(({expr}) % {len(vals)} AS INT) {arms} END"
+
+
 def _calendar(d: _Dialect) -> str:
     """A one-column (d) relation of every DATE in the data span."""
     if d is _SPARK:
@@ -153,7 +174,11 @@ def tpcds_views(d: _Dialect, src) -> dict[str, str]:
   {ext_sales} AS ss_ext_sales_price,
   {_money('l.l_extendedprice')} * CAST(l.l_tax AS DECIMAL(6,4)) AS ss_ext_tax,
   {_money('l.l_extendedprice')} * CAST(l.l_discount AS DECIMAL(6,4)) AS ss_coupon_amt,
-  {ext_sales} - CAST(l.l_quantity * 100 AS DECIMAL(14,2)) AS ss_net_profit"""
+  {ext_sales} - CAST(l.l_quantity * 100 AS DECIMAL(14,2)) AS ss_net_profit,
+  {_money('l.l_extendedprice')} * CAST(0.01 AS DECIMAL(4,2)) AS ss_wholesale_cost,
+  {_money('l.l_extendedprice')} * CAST(0.6 AS DECIMAL(2,1)) AS ss_ext_wholesale_cost,
+  {_money('l.l_extendedprice')} * CAST(l.l_discount AS DECIMAL(6,4)) AS ss_ext_discount_amt,
+  {ext_sales} AS ss_net_paid"""
     return {
         "store_sales": f"""
 SELECT {fact_cols}
@@ -161,16 +186,139 @@ FROM {src('lineitem')} l JOIN {src('orders')} o
   ON l.l_orderkey = o.o_orderkey""",
         "catalog_sales": f"""
 SELECT {_julian(d, 'o.o_orderdate')} AS cs_sold_date_sk,
-  o.o_custkey AS cs_ship_customer_sk
+  o.o_custkey AS cs_ship_customer_sk,
+  CAST((l.l_orderkey * 181 + l.l_linenumber * 7) % 86400 AS INT) AS cs_sold_time_sk,
+  CAST({_julian(d, 'o.o_orderdate')} + (l.l_orderkey * 3 + l.l_linenumber) % 60 + 2 AS INT) AS cs_ship_date_sk,
+  l.l_partkey AS cs_item_sk,
+  l.l_orderkey AS cs_order_number,
+  o.o_custkey AS cs_bill_customer_sk,
+  (o.o_custkey * 11 + l.l_orderkey) % 720 AS cs_bill_cdemo_sk,
+  (o.o_custkey * 13 + l.l_linenumber) % 144 AS cs_bill_hdemo_sk,
+  CASE WHEN o.o_orderkey % 2 = 0 THEN o.o_custkey
+       ELSE (o.o_custkey % 100) + 1 END AS cs_bill_addr_sk,
+  ((o.o_custkey * 3 + l.l_orderkey) % 100) + 1 AS cs_ship_addr_sk,
+  l.l_suppkey % 6 AS cs_call_center_sk,
+  (l.l_partkey * 3) % 100 AS cs_catalog_page_sk,
+  (l.l_orderkey * 13 + l.l_linenumber) % 20 AS cs_ship_mode_sk,
+  l.l_suppkey % 5 AS cs_warehouse_sk,
+  l.l_partkey % 30 AS cs_promo_sk,
+  CAST(l.l_quantity AS INT) AS cs_quantity,
+  {_money('l.l_extendedprice')} * CAST(0.01 AS DECIMAL(4,2)) AS cs_wholesale_cost,
+  {_money('l.l_extendedprice')} * CAST(0.1 AS DECIMAL(2,1)) AS cs_list_price,
+  {_money('l.l_extendedprice')} * CAST(0.1 AS DECIMAL(2,1)) * {one_minus} AS cs_sales_price,
+  {_money('l.l_extendedprice')} AS cs_ext_list_price,
+  {ext_sales} AS cs_ext_sales_price,
+  {_money('l.l_extendedprice')} * CAST(l.l_discount AS DECIMAL(6,4)) AS cs_ext_discount_amt,
+  {_money('l.l_extendedprice')} * CAST(0.6 AS DECIMAL(2,1)) AS cs_ext_wholesale_cost,
+  {_money('l.l_extendedprice')} * CAST(l.l_tax AS DECIMAL(6,4)) AS cs_ext_tax,
+  {_money('l.l_extendedprice')} * CAST(l.l_discount AS DECIMAL(6,4)) AS cs_coupon_amt,
+  {_money('l.l_extendedprice')} * CAST(0.02 AS DECIMAL(4,2)) AS cs_ext_ship_cost,
+  {ext_sales} AS cs_net_paid,
+  {ext_sales} + {_money('l.l_extendedprice')} * CAST(l.l_tax AS DECIMAL(6,4)) AS cs_net_paid_inc_tax,
+  {ext_sales} - CAST(l.l_quantity * 100 AS DECIMAL(14,2)) AS cs_net_profit
 FROM {src('lineitem')} l JOIN {src('orders')} o
   ON l.l_orderkey = o.o_orderkey
 WHERE l.l_linenumber % 3 = 1""",
         "web_sales": f"""
 SELECT {_julian(d, 'o.o_orderdate')} AS ws_sold_date_sk,
-  o.o_custkey AS ws_bill_customer_sk
+  o.o_custkey AS ws_bill_customer_sk,
+  CAST((l.l_orderkey * 181 + l.l_linenumber * 7) % 86400 AS INT) AS ws_sold_time_sk,
+  CAST({_julian(d, 'o.o_orderdate')} + (l.l_orderkey * 3 + l.l_linenumber) % 60 + 2 AS INT) AS ws_ship_date_sk,
+  l.l_partkey AS ws_item_sk,
+  l.l_orderkey AS ws_order_number,
+  CASE WHEN o.o_orderkey % 2 = 0 THEN o.o_custkey
+       ELSE (o.o_custkey % 100) + 1 END AS ws_ship_customer_sk,
+  (o.o_custkey * 17 + l.l_linenumber) % 144 AS ws_ship_hdemo_sk,
+  CASE WHEN o.o_orderkey % 2 = 0 THEN o.o_custkey
+       ELSE (o.o_custkey % 100) + 1 END AS ws_bill_addr_sk,
+  ((o.o_custkey * 7 + l.l_orderkey) % 100) + 1 AS ws_ship_addr_sk,
+  l.l_suppkey % 12 AS ws_web_site_sk,
+  (l.l_orderkey * 7 + l.l_linenumber) % 60 AS ws_web_page_sk,
+  (l.l_orderkey * 13 + l.l_linenumber) % 20 AS ws_ship_mode_sk,
+  l.l_suppkey % 5 AS ws_warehouse_sk,
+  l.l_partkey % 30 AS ws_promo_sk,
+  CAST(l.l_quantity AS INT) AS ws_quantity,
+  {_money('l.l_extendedprice')} * CAST(0.01 AS DECIMAL(4,2)) AS ws_wholesale_cost,
+  {_money('l.l_extendedprice')} * CAST(0.1 AS DECIMAL(2,1)) AS ws_list_price,
+  {_money('l.l_extendedprice')} * CAST(0.1 AS DECIMAL(2,1)) * {one_minus} AS ws_sales_price,
+  {_money('l.l_extendedprice')} AS ws_ext_list_price,
+  {ext_sales} AS ws_ext_sales_price,
+  {_money('l.l_extendedprice')} * CAST(l.l_discount AS DECIMAL(6,4)) AS ws_ext_discount_amt,
+  {_money('l.l_extendedprice')} * CAST(0.6 AS DECIMAL(2,1)) AS ws_ext_wholesale_cost,
+  {_money('l.l_extendedprice')} * CAST(l.l_tax AS DECIMAL(6,4)) AS ws_ext_tax,
+  {_money('l.l_extendedprice')} * CAST(l.l_discount AS DECIMAL(6,4)) AS ws_coupon_amt,
+  {_money('l.l_extendedprice')} * CAST(0.02 AS DECIMAL(4,2)) AS ws_ext_ship_cost,
+  {ext_sales} AS ws_net_paid,
+  {ext_sales} + {_money('l.l_extendedprice')} * CAST(l.l_tax AS DECIMAL(6,4)) AS ws_net_paid_inc_tax,
+  {ext_sales} - CAST(l.l_quantity * 100 AS DECIMAL(14,2)) AS ws_net_profit
 FROM {src('lineitem')} l JOIN {src('orders')} o
   ON l.l_orderkey = o.o_orderkey
 WHERE l.l_linenumber % 3 = 2""",
+        "store_returns": f"""
+SELECT CAST({_julian(d, 'o.o_orderdate')} + (l.l_orderkey % 90) + 3 AS INT) AS sr_returned_date_sk,
+  l.l_partkey AS sr_item_sk,
+  l.l_orderkey AS sr_ticket_number,
+  o.o_custkey AS sr_customer_sk,
+  (o.o_custkey * 11 + l.l_orderkey) % 720 AS sr_cdemo_sk,
+  l.l_suppkey % 12 AS sr_store_sk,
+  (l.l_orderkey * 3 + l.l_linenumber) % 35 AS sr_reason_sk,
+  {_idiv(d, 'CAST(l.l_quantity AS INT)', 2)} + 1 AS sr_return_quantity,
+  {_money('l.l_extendedprice')} * CAST(0.5 AS DECIMAL(2,1)) AS sr_return_amt,
+  {_money('l.l_extendedprice')} * CAST(0.1 AS DECIMAL(2,1)) AS sr_net_loss
+FROM {src('lineitem')} l JOIN {src('orders')} o
+  ON l.l_orderkey = o.o_orderkey
+WHERE (l.l_orderkey + l.l_linenumber) % 4 = 0""",
+        "catalog_returns": f"""
+SELECT CAST({_julian(d, 'o.o_orderdate')} + (l.l_orderkey % 90) + 3 AS INT) AS cr_returned_date_sk,
+  l.l_partkey AS cr_item_sk,
+  l.l_orderkey AS cr_order_number,
+  o.o_custkey AS cr_returning_customer_sk,
+  CASE WHEN o.o_orderkey % 2 = 0 THEN o.o_custkey
+       ELSE (o.o_custkey % 100) + 1 END AS cr_returning_addr_sk,
+  l.l_suppkey % 6 AS cr_call_center_sk,
+  (l.l_partkey * 3) % 100 AS cr_catalog_page_sk,
+  (l.l_orderkey * 3 + l.l_linenumber) % 35 AS cr_reason_sk,
+  {_idiv(d, 'CAST(l.l_quantity AS INT)', 2)} + 1 AS cr_return_quantity,
+  {_money('l.l_extendedprice')} * CAST(0.5 AS DECIMAL(2,1)) AS cr_return_amount,
+  {_money('l.l_extendedprice')} * CAST(0.5 AS DECIMAL(2,1))
+    + {_money('l.l_extendedprice')} * CAST(l.l_tax AS DECIMAL(6,4)) AS cr_return_amt_inc_tax,
+  {_money('l.l_extendedprice')} * CAST(0.3 AS DECIMAL(2,1)) AS cr_refunded_cash,
+  {_money('l.l_extendedprice')} * CAST(0.1 AS DECIMAL(2,1)) AS cr_reversed_charge,
+  {_money('l.l_extendedprice')} * CAST(0.1 AS DECIMAL(2,1)) AS cr_store_credit,
+  {_money('l.l_extendedprice')} * CAST(0.1 AS DECIMAL(2,1)) AS cr_net_loss
+FROM {src('lineitem')} l JOIN {src('orders')} o
+  ON l.l_orderkey = o.o_orderkey
+WHERE l.l_linenumber % 3 = 1 AND (l.l_orderkey + l.l_linenumber) % 4 = 0""",
+        "web_returns": f"""
+SELECT CAST({_julian(d, 'o.o_orderdate')} + (l.l_orderkey % 90) + 3 AS INT) AS wr_returned_date_sk,
+  l.l_partkey AS wr_item_sk,
+  l.l_orderkey AS wr_order_number,
+  o.o_custkey AS wr_returning_customer_sk,
+  (o.o_custkey * 11 + l.l_orderkey) % 720 AS wr_refunded_cdemo_sk,
+  (o.o_custkey * 19 + l.l_orderkey) % 720 AS wr_returning_cdemo_sk,
+  CASE WHEN o.o_orderkey % 2 = 0 THEN o.o_custkey
+       ELSE (o.o_custkey % 100) + 1 END AS wr_refunded_addr_sk,
+  ((o.o_custkey * 7 + l.l_orderkey) % 100) + 1 AS wr_returning_addr_sk,
+  (l.l_orderkey * 7 + l.l_linenumber) % 60 AS wr_web_page_sk,
+  (l.l_orderkey * 3 + l.l_linenumber) % 35 AS wr_reason_sk,
+  {_idiv(d, 'CAST(l.l_quantity AS INT)', 2)} + 1 AS wr_return_quantity,
+  {_money('l.l_extendedprice')} * CAST(0.5 AS DECIMAL(2,1)) AS wr_return_amt,
+  {_money('l.l_extendedprice')} * CAST(0.3 AS DECIMAL(2,1)) AS wr_refunded_cash,
+  CAST((l.l_orderkey % 90) + 10 AS DECIMAL(7,2)) AS wr_fee,
+  {_money('l.l_extendedprice')} * CAST(0.1 AS DECIMAL(2,1)) AS wr_net_loss
+FROM {src('lineitem')} l JOIN {src('orders')} o
+  ON l.l_orderkey = o.o_orderkey
+WHERE l.l_linenumber % 3 = 2 AND (l.l_orderkey + l.l_linenumber) % 4 = 0""",
+        "inventory": f"""
+SELECT DISTINCT
+  CAST({_julian(d, 'o.o_orderdate')} - {_dow(d, 'o.o_orderdate')} AS INT) AS inv_date_sk,
+  l.l_partkey AS inv_item_sk,
+  l.l_suppkey % 5 AS inv_warehouse_sk,
+  CAST((l.l_partkey * 7 + (l.l_suppkey % 5) * 13
+        + {_julian(d, 'o.o_orderdate')} - {_dow(d, 'o.o_orderdate')}) % 200 AS INT)
+    AS inv_quantity_on_hand
+FROM {src('lineitem')} l JOIN {src('orders')} o
+  ON l.l_orderkey = o.o_orderkey""",
         "date_dim": f"""
 SELECT {_julian(d, 'd')} AS d_date_sk,
   d AS d_date,
@@ -181,8 +329,64 @@ SELECT {_julian(d, 'd')} AS d_date_sk,
   {_dayname(d, 'd')} AS d_day_name,
   CAST(FLOOR(({_julian(d, 'd')} - 2415021) / 7) AS INT) AS d_week_seq,
   CAST((year(d) - 1900) * 12 + month(d) - 1 AS INT) AS d_month_seq,
-  CAST(quarter(d) AS INT) AS d_qoy
+  CAST(quarter(d) AS INT) AS d_qoy,
+  {s('year(d)')} || 'Q' || {s('quarter(d)')} AS d_quarter_name
 FROM ({_calendar(d)})""",
+        "time_dim": f"""
+SELECT CAST(t AS INT) AS t_time_sk,
+  CAST(t AS INT) AS t_time,
+  CAST({_idiv(d, 't', 3600)} AS INT) AS t_hour,
+  CAST({_idiv(d, 't % 3600', 60)} AS INT) AS t_minute,
+  CAST(t % 60 AS INT) AS t_second,
+  CASE WHEN {_idiv(d, 't', 3600)} BETWEEN 6 AND 8 THEN 'breakfast'
+       WHEN {_idiv(d, 't', 3600)} BETWEEN 11 AND 13 THEN 'lunch'
+       WHEN {_idiv(d, 't', 3600)} BETWEEN 17 AND 19 THEN 'dinner'
+       ELSE NULL END AS t_meal_time
+FROM ({_seconds(d)})""",
+        "warehouse": f"""
+SELECT n_nationkey AS w_warehouse_sk,
+  'Warehouse_' || {s('n_nationkey')} AS w_warehouse_name,
+  CAST(500000 + n_nationkey * 37131 AS INT) AS w_warehouse_sq_ft,
+  'City_' || {s('n_nationkey % 5')} AS w_city,
+  'County_' || {s('n_nationkey % 3')} AS w_county,
+  'ST_' || {s('n_nationkey % 4')} AS w_state,
+  'United States' AS w_country
+FROM {src('nation')} WHERE n_nationkey < 5""",
+        "ship_mode": f"""
+SELECT n_nationkey AS sm_ship_mode_sk,
+  {_pick('n_nationkey', 'EXPRESS', 'NEXT DAY', 'OVERNIGHT', 'REGULAR', 'LIBRARY')} AS sm_type,
+  {_pick('n_nationkey * 7', 'UPS', 'FEDEX', 'AIRBORNE', 'USPS', 'DHL', 'TBS', 'ZHOU', 'LATVIAN', 'MSC', 'ORIENTAL')} AS sm_carrier
+FROM {src('nation')} WHERE n_nationkey < 20""",
+        "income_band": f"""
+SELECT n_nationkey + 1 AS ib_income_band_sk,
+  CAST(n_nationkey * 10000 AS INT) AS ib_lower_bound,
+  CAST((n_nationkey + 1) * 10000 - 1 AS INT) AS ib_upper_bound
+FROM {src('nation')} WHERE n_nationkey < 20""",
+        "call_center": f"""
+SELECT n_nationkey AS cc_call_center_sk,
+  'CC_' || lpad({s('n_nationkey')}, 2, '0') AS cc_call_center_id,
+  'CallCenter_' || {s('n_nationkey')} AS cc_name,
+  'Manager_' || {s('n_nationkey % 4')} AS cc_manager,
+  'County_' || {s('n_nationkey % 3')} AS cc_county
+FROM {src('nation')} WHERE n_nationkey < 6""",
+        "web_site": f"""
+SELECT n_nationkey AS web_site_sk,
+  'WEB_' || lpad({s('n_nationkey')}, 2, '0') AS web_site_id,
+  'site_' || {s('n_nationkey % 6')} AS web_name,
+  {_pick('n_nationkey', 'pri', 'ally', 'able', 'ese', 'anti', 'cally')} AS web_company_name
+FROM {src('nation')} WHERE n_nationkey < 12""",
+        "web_page": f"""
+SELECT c_custkey - 1 AS wp_web_page_sk,
+  CAST(100 + (c_custkey * 97) % 7900 AS INT) AS wp_char_count
+FROM {src('customer')} WHERE c_custkey <= 60""",
+        "catalog_page": f"""
+SELECT c_custkey - 1 AS cp_catalog_page_sk,
+  'CP_' || lpad({s('c_custkey - 1')}, 4, '0') AS cp_catalog_page_id
+FROM {src('customer')} WHERE c_custkey <= 100""",
+        "reason": f"""
+SELECT c_custkey - 1 AS r_reason_sk,
+  'reason ' || {s('c_custkey - 1')} AS r_reason_desc
+FROM {src('customer')} WHERE c_custkey <= 35""",
         "item": f"""
 SELECT p_partkey AS i_item_sk,
   'ITEM_' || lpad({s('p_partkey')}, 8, '0') AS i_item_id,
@@ -198,7 +402,16 @@ SELECT p_partkey AS i_item_sk,
   'Manufacturer#' || {s('p_partkey % 5 + 1')} AS i_manufact,
   CAST(p_partkey % 40 + 1 AS INT) AS i_manager_id,
   CAST(p_retailprice AS DECIMAL(12,2)) AS i_current_price,
-  CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(2,1)) AS i_wholesale_cost
+  CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(2,1)) AS i_wholesale_cost,
+  CAST((p_partkey % 16) + 1 AS INT) AS i_class_id,
+  p_name AS i_product_name,
+  {_pick('p_partkey * 3',
+         'aquamarine', 'azure', 'beige', 'black', 'blue', 'brown',
+         'chartreuse', 'chiffon', 'coral', 'cream', 'cyan', 'firebrick',
+         'gainsboro', 'ghost', 'goldenrod', 'honeydew')} AS i_color,
+  {_pick('p_size', 'small', 'medium', 'large', 'extra large', 'economy', 'N/A', 'petite')} AS i_size,
+  {_pick('p_partkey * 7', 'Each', 'Dozen', 'Case', 'Pound', 'Ounce',
+         'Gram', 'Ton', 'Box', 'Bundle', 'Pallet')} AS i_units
 FROM {src('part')}""",
         "store": f"""
 SELECT n_nationkey AS s_store_sk,
@@ -210,7 +423,13 @@ SELECT n_nationkey AS s_store_sk,
   'Unknown' AS s_company_name,
   CAST(200 + n_nationkey * 7 AS INT) AS s_number_employees,
   CAST(-5 AS DECIMAL(5,2)) AS s_gmt_offset,
-  lpad({s('10000 + n_nationkey * 137')}, 5, '0') AS s_zip
+  lpad({s('10000 + n_nationkey * 137')}, 5, '0') AS s_zip,
+  CAST(1 AS INT) AS s_company_id,
+  CAST(n_nationkey % 10 + 1 AS INT) AS s_market_id,
+  {s('100 + n_nationkey')} AS s_street_number,
+  'StoreSt_' || {s('n_nationkey % 5')} AS s_street_name,
+  'Street' AS s_street_type,
+  'Suite ' || {s('n_nationkey')} AS s_suite_number
 FROM {src('nation')} WHERE n_nationkey < 12""",
         "customer": f"""
 SELECT c_custkey AS c_customer_sk,
@@ -221,13 +440,36 @@ SELECT c_custkey AS c_customer_sk,
     ELSE 'Mrs.' END AS c_salutation,
   CASE WHEN c_custkey % 3 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
   c_custkey AS c_current_addr_sk,
-  (c_custkey * 17) % 720 AS c_current_cdemo_sk
+  (c_custkey * 17) % 720 AS c_current_cdemo_sk,
+  (c_custkey * 23) % 144 AS c_current_hdemo_sk,
+  'ID_' || lpad({s('c_custkey')}, 12, '0') AS c_customer_id,
+  CAST(1924 + c_custkey % 69 AS INT) AS c_birth_year,
+  CAST(c_custkey % 12 + 1 AS INT) AS c_birth_month,
+  CAST(c_custkey % 28 + 1 AS INT) AS c_birth_day,
+  {_pick('c_custkey * 13', 'UNITED STATES', 'CANADA', 'GERMANY', 'JAPAN',
+         'BRAZIL', 'FRANCE', 'INDIA', 'CHINA')} AS c_birth_country,
+  'login_' || {s('c_custkey % 50')} AS c_login,
+  'First' || {s('c_custkey % 97')} || '.Last' || {s('c_custkey % 89')}
+    || '@example.com' AS c_email_address,
+  CAST({_JULIAN_EPOCH} + 9131 + c_custkey % 2557 AS INT) AS c_first_sales_date_sk,
+  CAST({_JULIAN_EPOCH} + 9161 + c_custkey % 2500 AS INT) AS c_first_shipto_date_sk,
+  CAST({_JULIAN_EPOCH} + 10000 + c_custkey % 1500 AS INT) AS c_last_review_date
 FROM {src('customer')}""",
         "customer_address": f"""
 SELECT c_custkey AS ca_address_sk,
   'CA_City_' || {s('c_custkey % 40')} AS ca_city,
   'CA_County_' || {s('c_custkey % 8')} AS ca_county,
-  lpad({s('(10000 + c_custkey * 31) % 100000')}, 5, '0') AS ca_zip
+  lpad({s('(10000 + c_custkey * 31) % 100000')}, 5, '0') AS ca_zip,
+  {_pick('c_custkey', 'AL', 'GA', 'KY', 'TN', 'TX', 'CA', 'OH', 'IL', 'MI',
+         'VA', 'NC', 'FL', 'IN', 'WI', 'MN', 'MO', 'LA', 'OK', 'IA', 'KS')} AS ca_state,
+  'United States' AS ca_country,
+  CAST(CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN -5 WHEN 1 THEN -6
+    WHEN 2 THEN -7 ELSE -8 END AS DECIMAL(5,2)) AS ca_gmt_offset,
+  {s('c_custkey % 1000')} AS ca_street_number,
+  'St_' || {s('c_custkey % 30')} AS ca_street_name,
+  {_pick('c_custkey * 3', 'Street', 'Ave', 'Blvd', 'Way', 'Ct')} AS ca_street_type,
+  'Suite ' || {s('(c_custkey * 7) % 100')} AS ca_suite_number,
+  {_pick('c_custkey * 11', 'apartment', 'condo', 'single family')} AS ca_location_type
 FROM {src('customer')}""",
         "customer_demographics": f"""
 SELECT c_custkey AS cd_demo_sk,
@@ -253,12 +495,15 @@ SELECT c_custkey AS hd_demo_sk,
   CASE CAST(c_custkey % 6 AS INT) WHEN 0 THEN '0-500'
     WHEN 1 THEN '501-1000' WHEN 2 THEN '1001-5000'
     WHEN 3 THEN '5001-10000' WHEN 4 THEN '>10000'
-    ELSE 'Unknown' END AS hd_buy_potential
+    ELSE 'Unknown' END AS hd_buy_potential,
+  CAST(c_custkey % 20 + 1 AS INT) AS hd_income_band_sk
 FROM {src('customer')} WHERE c_custkey < 144""",
         "promotion": f"""
 SELECT c_custkey AS p_promo_sk,
   CASE WHEN c_custkey % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
-  CASE WHEN c_custkey % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+  CASE WHEN c_custkey % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event,
+  CASE WHEN c_custkey % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+  CASE WHEN c_custkey % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
 FROM {src('customer')} WHERE c_custkey < 30""",
     }
 

@@ -1,0 +1,217 @@
+"""The reference's FULL TPC-DS corpus (103 files) executed verbatim.
+
+The reference ships the complete TPC-DS query set —
+``native-sql-engine/core/src/test/resources/tpcds/q1.sql .. q99.sql``
+(103 files: q14/q23/q24/q39 split into a/b variants; driven by its
+TPCDSSuite.scala) — beyond the 21-file ``tpcds-modifiedQueries``
+subset that plans/sqltext_tpcds.py runs. This module runs the full
+corpus byte-identical through ``spark.sql`` over the SAME widened
+compatibility catalog (sqltext_tpcds.tpcds_views: all 24 TPC-DS
+tables synthesized deterministically from the driver's TPC-H-ish
+parquet), with the identical text executed on DuckDB for the oracle.
+
+Three adaptation layers, none of which touches the Spark-side text:
+
+- **Catalog**: full-surface store/catalog/web sales + returns,
+  inventory, warehouse, time_dim, ship_mode, income_band,
+  call_center, web_site, web_page, catalog_page, reason (see
+  sqltext_tpcds.tpcds_views).
+- **Oracle dialect patches** (ORACLE_PATCHES): mechanical, value-
+  preserving rewrites applied to the DuckDB side only, where the two
+  SQL dialects genuinely diverge — backtick identifier quoting,
+  DuckDB's reserved word ``returns``, and output-alias resolution in
+  ORDER BY (Spark binds the SELECT alias, DuckDB calls the bare name
+  ambiguous).
+- **Fitted substitutions** (TPCDS_FULL_FITTED_SUBS): literal-only
+  parameter remaps into this dataset's synthesized domains, exactly
+  the sqltext.py contract (TPC-DS queries are parameterized by
+  design; a fitted variant is a legal substitution set and must be
+  non-empty).
+
+Known non-portable texts (SKIP_SPARK / the test sweep's skip list):
+q14b/q39a/q39b/q64 fail on Spark 4 itself with AMBIGUOUS_REFERENCE —
+the texts target Spark 3.1's laxer resolution rules, so no catalog
+can run them verbatim on a current Spark. Documented divergences that
+keep a query out of the strict driver gate but inside the tolerance-
+compared pytest sweep are listed in tests/test_sqltext_tpcds_full.py.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gazelle_plugin_spark.plans import query
+from gazelle_plugin_spark.plans.sqltext import (
+    REF_SQL_ROOT,
+    load_text,
+    merge_prelude,
+    normalize_output,
+    sub_literals,
+)
+from gazelle_plugin_spark.plans.sqltext_tpcds import (
+    register_tpcds_views,
+    tpcds_prelude,
+)
+
+TPCDS_FULL_FAMILY = "tpcds"
+
+
+def tpcds_full_corpus_available() -> bool:
+    return os.path.isdir(os.path.join(REF_SQL_ROOT, TPCDS_FULL_FAMILY))
+
+
+def tpcds_full_names() -> list[str]:
+    root = os.path.join(REF_SQL_ROOT, TPCDS_FULL_FAMILY)
+    return sorted(f[:-4] for f in os.listdir(root) if f.endswith(".sql"))
+
+
+#: Texts that Spark 4 itself rejects (AMBIGUOUS_REFERENCE): they rely
+#: on Spark 3.1's laxer self-join/alias resolution. Not a catalog gap
+#: — a user pasting these into any current Spark gets the same error.
+SKIP_SPARK = frozenset({"q14b", "q39a", "q39b", "q64"})
+
+#: Mechanical oracle-side dialect patches (DuckDB text only; the Spark
+#: text stays byte-identical). Each entry is (regex, replacement) and
+#: must be value-preserving: identifier quoting or alias-resolution
+#: only.
+ORACLE_PATCHES: dict[str, list[tuple[str, str]]] = {
+    # DuckDB resolves a bare ORDER BY column against the FROM scope
+    # first and calls it ambiguous; Spark binds the SELECT alias.
+    "q72": [
+        (
+            r"ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d_week_seq",
+            "ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d1.d_week_seq",
+        )
+    ],
+    "q58": [(r"ORDER BY item_id, ss_item_rev", "ORDER BY ss_items.item_id, ss_item_rev")],
+    # ``returns`` is a DuckDB reserved word; quote it wherever the
+    # text uses it as a column alias / reference.
+    "q77": [(r"\breturns\b", '"returns"')],
+}
+
+
+def _oracle_dialect(name: str, text: str) -> str:
+    """Apply the oracle-side dialect patches: global backtick->double
+    quote (Spark identifier quoting), LEFT SEMI JOIN spelling, and the
+    per-query resolution patches."""
+    text = text.replace("`", '"')
+    text = re.sub(r"(?i)\bleft\s+semi\s+join\b", "SEMI JOIN", text)
+    for pat, rep in ORACLE_PATCHES.get(name, []):
+        text = re.sub(pat, rep, text)
+    return text
+
+
+#: Literal-only fitted substitutions into the synthesized domains
+#: (sqltext.sub_literals contract: quoted literals verbatim, bare
+#: numbers word-boundary). Queries absent here run non-vacuous with
+#: their default substitutions.
+TPCDS_FULL_FITTED_SUBS: dict[str, dict[str, str]] = {
+    # i_category / i_color: real TPC-DS domains -> the synthesized ones
+    "q75": {"'Books'": "'ECONOMY'", "2002": "2000"},
+    "q10": {"'Rush County'": "'CA_County_0'", "'Toole County'": "'CA_County_1'",
+            "'Jefferson County'": "'CA_County_2'",
+            "'Dona Ana County'": "'CA_County_3'",
+            "'La Porte County'": "'CA_County_4'", "2002": "2000"},
+    "q30": {"2002": "2000"},
+    "q27": {"'TN'": "'ST_1'", "2002": "2000"},
+    "q36": {"'TN'": "'ST_1'"},
+    "q84": {"'Edgewood'": "'CA_City_1'"},
+    # i_current_price literal band to the part table's ~900..2100
+    "q21": {"0.99": "990", "1.49": "1040"},
+    "q40": {"0.99": "990", "1.49": "1040"},
+    "q33": {"'Electronics'": "'ECONOMY'"},
+    "q56": {"'slate'": "'azure'", "'blanched'": "'beige'", "'burnished'": "'black'"},
+    "q60": {"'Music'": "'MEDIUM'"},
+    # store names / states to the synthesized domains
+    "q88": {"'ese'": "'Store_1'"},
+    # inventory price / manufact windows to the part table's domains
+    # (i_current_price ~900..2100, i_manufact_id 1..5)
+    "q37": {"68": "968", "677": "1", "940": "2", "694": "3", "808": "4"},
+    "q82": {"62": "962", "129": "1", "270": "2", "821": "3", "423": "4"},
+}
+
+
+def fitted_full_text(name: str) -> str:
+    text = load_text(TPCDS_FULL_FAMILY, name)
+    return sub_literals(text, TPCDS_FULL_FITTED_SUBS.get(name) or {})
+
+
+def run_tpcds_full(
+    spark: SparkSession, sf_dir: str, name: str, fitted: bool = False
+) -> DataFrame:
+    """Execute one full-corpus reference text over the compatibility
+    catalog (byte-identical unless ``fitted``)."""
+    register_tpcds_views(spark, sf_dir)
+    text = fitted_full_text(name) if fitted else load_text(TPCDS_FULL_FAMILY, name)
+    return normalize_output(spark.sql(text))
+
+
+def tpcds_full_oracle_sql(name: str, fitted: bool = False) -> str:
+    text = fitted_full_text(name) if fitted else load_text(TPCDS_FULL_FAMILY, name)
+    return merge_prelude(tpcds_prelude(), _oracle_dialect(name, text))
+
+
+def _register(qname: str, name: str, fitted: bool) -> None:
+    def impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_tpcds_full(spark, sf_dir, name, fitted=fitted)
+
+    impl.__name__ = qname
+    impl.__doc__ = (
+        f"Reference tpcds/{name}.sql executed VERBATIM through spark.sql "
+        "over the full TPC-DS compatibility catalog "
+        "(plans/sqltext_tpcds_full.py; the reference's TPCDSSuite.scala "
+        "entry path)."
+        + (
+            " Fitted variant: literal-only substitutions into the "
+            "synthesized domains."
+            if fitted
+            else ""
+        )
+    )
+    query(qname, oracle=tpcds_full_oracle_sql(name, fitted=fitted))(impl)
+
+
+#: Driver-registered tranche: the VALUE-SAFE subset of the corpus —
+#: outputs are exact sums/counts/attributes (decimal-exact on both
+#: engines; no avg/ratio output columns, per the round-8 registration
+#: policy), verified MATCH in the round-9 two-engine sweep. (name,
+#: fitted) — fitted only where the default substitutions are vacuous
+#: on this data's domains.
+DRIVER_TRANCHE: tuple[tuple[str, bool], ...] = (
+    ("q10", True),
+    ("q15", False),
+    ("q16", False),
+    ("q21", True),
+    ("q23a", False),
+    ("q25", False),
+    ("q29", False),
+    ("q30", True),
+    ("q33", True),
+    ("q37", True),
+    ("q40", True),
+    ("q45", False),
+    ("q48", False),
+    ("q50", False),
+    ("q56", True),
+    ("q60", True),
+    ("q62", False),
+    ("q69", False),
+    ("q71", False),
+    ("q72", False),
+    ("q81", False),
+    ("q82", True),
+    ("q84", True),
+    ("q86", False),
+    ("q88", True),
+    ("q93", False),
+    ("q97", False),
+    ("q99", False),
+)
+
+
+if tpcds_full_corpus_available():
+    for _name, _fitted in DRIVER_TRANCHE:
+        _register(f"tpcdsfull_{_name}", _name, _fitted)

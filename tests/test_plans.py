@@ -53,6 +53,10 @@ BNLJ_ALLOWED = {
     "rel_hll_union",
     # k broadcast centroid rows joined to every point (argmin over k)
     "emb_kmeans",
+    # TPC-DS q88 TEXT: eight single-row COUNT(*) subqueries cross-
+    # joined into one result row — every BNLJ side is a 1-row
+    # aggregate by construction (the reference runs the same shape)
+    "tpcdsfull_q88",
 }
 
 
