@@ -388,21 +388,25 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     if compare:
-        # Tail keys on purpose: the driver keeps only the JSON tail,
-        # so per-query vanilla/engine ratios must survive truncation
-        # (round-6 verdict item 4). >1.0 = engine faster.
+        # Tail keys on purpose: the driver keeps only the JSON TAIL,
+        # so the informative entries must sit nearest the end
+        # (round-6 item 4 / round-8 item 5). >1.0 = engine faster.
+        # Ratios are emitted BEST-FIRST: head truncation drops the
+        # healthy queries and the weak ones survive.
         rd = {
             n: round(vtimings[n] / timings[n], 3)
             for n in names
             if timings.get(n) and vtimings.get(n)
         }
-        result["ratios"] = rd
+        result["ratios"] = dict(
+            sorted(rd.items(), key=lambda kv: kv[1], reverse=True)
+        )
         # ... and the single headline number goes LAST so it survives
         # even when the ratios dict itself is cut (round-7 verdict
         # item 8): geomean + the worst queries for either side.
         if rd:
             gm = round(math.exp(sum(math.log(r) for r in rd.values()) / len(rd)), 4)
-            worst = sorted(rd.items(), key=lambda kv: kv[1])[:3]
+            worst = sorted(rd.items(), key=lambda kv: kv[1])[:10]
             result["summary"] = {
                 "geomean": gm,
                 "worst": [{"q": n, "ratio": r} for n, r in worst],
