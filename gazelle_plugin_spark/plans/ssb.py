@@ -180,11 +180,6 @@ def _flight2(spark, sf_dir, part_pred, region, load=None):
     ld = load or (lambda name: t(spark, sf_dir, name))
     li = ld("lineitem")
     o = ld("orders")
-    d = F.col("o_orderdate")
-    f = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .withColumn("d_year", F.year(d))
-    )
     p = ld("part").filter(part_pred)
     sup = ld("supplier")
     n = ld("nation")
@@ -195,9 +190,19 @@ def _flight2(spark, sf_dir, part_pred, region, load=None):
         .select("s_suppkey", F.col("r_name").alias("s_region"))
         .filter(F.col("s_region") == region)
     )
+    # Selective broadcast dims FIRST, the fact-to-fact orders join
+    # LAST: the brand/region predicates keep ~1% of lineitem, so the
+    # l_orderkey shuffle (the expensive exchange at scale) moves ~100x
+    # less data than joining orders against the full lineitem.
+    f = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    )
+    f = f.join(o, f.l_orderkey == o.o_orderkey).withColumn(
+        "d_year", F.year(F.col("o_orderdate"))
+    )
     return (
-        f.join(F.broadcast(p), f.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), f.l_suppkey == s.s_suppkey)
+        f
         .groupBy("d_year", "p_brand")
         .agg(F.sum(revenue()).cast("double").alias("revenue"))
         .orderBy("d_year", "p_brand")
