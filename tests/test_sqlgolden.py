@@ -1,10 +1,10 @@
 """Golden-file SQL conformance sweep (plans/sqlgolden.py).
 
-Replays 75 files of the reference's vendored Spark SQL query test
+Replays 92 files of the reference's vendored Spark SQL query test
 corpus (sql-tests/inputs + results; the reference validates its native
 engine by replaying the same files through SQLQueryTestSuite /
 NativeSQLConvertedSuite.scala) against the pinned expected outputs:
-~3,800 statements — every SELECT compared as typed values, setup DDL
+~4,700 statements — every SELECT compared as typed values, setup DDL
 executed, expected-error statements asserted to error.
 
 SKIPS documents every known Spark 3.1 -> 4 behavior divergence — each
@@ -112,7 +112,30 @@ EXPR_FILES = [
     "typeCoercion/native/mapconcat",
 ]
 
-FILES = DUCK_FILES + EXPR_FILES
+#: Tranche 3 (round 9, late): the pg regression files that need the
+#: suite's pre-loaded tenk1/onek/aggtest tables (CSV-backed temp views
+#: over the reference's test-data/postgresql files; sqlgolden.preludes).
+PG_FILES = [
+    "postgreSQL/select",
+    "postgreSQL/select_distinct",
+    "postgreSQL/union",
+    "postgreSQL/limit",
+    "postgreSQL/int2",
+    "postgreSQL/int4",
+    "postgreSQL/int8",
+    "postgreSQL/float4",
+    "postgreSQL/float8",
+    "postgreSQL/aggregates_part1",
+    "postgreSQL/groupingsets",
+    "postgreSQL/window_part1",
+    "postgreSQL/window_part2",
+    "postgreSQL/window_part3",
+    "postgreSQL/join",
+    "postgreSQL/text",
+    "postgreSQL/date",
+]
+
+FILES = DUCK_FILES + EXPR_FILES + PG_FILES
 
 #: Documented Spark 3.1 -> 4 behavior divergences (golden no longer
 #: applies on a current Spark).  Key = Case.key (70-char normalized SQL
@@ -177,6 +200,42 @@ SKIPS: dict[str, dict[str, str]] = {
     "typeCoercion/native/mapconcat": {
         "SELECT map_concat(boolean_map1, boolean_map2) boolean_map, map_concat(": "pyspark 4 cannot collect maps with array keys (unhashable in the Python converter)",
     },
+    "postgreSQL/union": {
+        "SELECT cast('3.4' as decimal(38, 18)) UNION SELECT 'foo'": "decimal-vs-string UNION: 3.1 coerced to string; Spark 4 rejects the branch types",
+    },
+    "postgreSQL/float4": {
+        # f1 is FLOAT; 3.1 coerced the string literal to FLOAT
+        # (equal), Spark 4 widens both to DOUBLE (1004.3f != 1004.3d).
+        "SELECT '' AS four, f.* FROM FLOAT4_TBL f WHERE f.f1 <> '1004.3'": "float-vs-string comparison now widens to double (3.1 compared as float)",
+        "SELECT '' AS one, f.* FROM FLOAT4_TBL f WHERE f.f1 = '1004.3'": "float-vs-string comparison now widens to double (3.1 compared as float)",
+        "SELECT '' AS three, f.* FROM FLOAT4_TBL f WHERE '1004.3' > f.f1": "float-vs-string comparison now widens to double (3.1 compared as float)",
+        "SELECT '' AS three, f.* FROM FLOAT4_TBL f WHERE f.f1 < '1004.3'": "float-vs-string comparison now widens to double (3.1 compared as float)",
+    },
+    "postgreSQL/window_part2": {
+        "select id, f_numeric, first(id) over w, last(id) over w from numerics ": "RANGE frame with a 'NaN' string bound over decimals: 3.1's lenient cast produced a different frame end",
+    },
+    "postgreSQL/join": {
+        "select t1.q2, count(t2.*) from int8_tbl t1 left join int8_tbl t2 on (t": "Spark 4 disallows count(tblName.*) (SPARK-34199)",
+        "select t1.q2, count(t2.*) from int8_tbl t1 left join (select * from in": "Spark 4 disallows count(tblName.*) (SPARK-34199)",
+        "select t1.q2, count(t2.*) from int8_tbl t1 left join (select q1, case ": "Spark 4 disallows count(tblName.*) (SPARK-34199)",
+    },
+    "postgreSQL/text": {
+        "select concat_ws('#',1,2,3,'hello',true, false, to_date('20100309','yy": "concat_ws rendering of non-string args changed between versions",
+        "select format_string('%0$s', 'Hello')": "format_string rejects argument index 0 since Spark 3.3 (JDK behavior pinned)",
+    },
+    "postgreSQL/date": {
+        # date - date returned a CalendarInterval in 3.1; ANSI
+        # date subtraction yields an INTERVAL DAY since Spark 3.2+.
+        "SELECT f1 - date '2000-01-01' AS `Days From 2K` FROM DATE_TBL": "date-date subtraction is typed INTERVAL DAY since Spark 3.2 (golden: legacy interval)",
+        "SELECT f1 - date 'epoch' AS `Days From Epoch` FROM DATE_TBL": "date-date subtraction is typed INTERVAL DAY since Spark 3.2 (golden: legacy interval)",
+        "SELECT date 'yesterday' - date 'today' AS `One day`": "date-date subtraction is typed INTERVAL DAY since Spark 3.2 (golden: legacy interval)",
+        "SELECT date 'today' - date 'tomorrow' AS `One day`": "date-date subtraction is typed INTERVAL DAY since Spark 3.2 (golden: legacy interval)",
+        "SELECT date 'yesterday' - date 'tomorrow' AS `Two days`": "date-date subtraction is typed INTERVAL DAY since Spark 3.2 (golden: legacy interval)",
+        "SELECT date 'tomorrow' - date 'today' AS `One day`": "date-date subtraction is typed INTERVAL DAY since Spark 3.2 (golden: legacy interval)",
+        "SELECT date 'today' - date 'yesterday' AS `One day`": "date-date subtraction is typed INTERVAL DAY since Spark 3.2 (golden: legacy interval)",
+        "SELECT date 'tomorrow' - date 'yesterday' AS `Two days`": "date-date subtraction is typed INTERVAL DAY since Spark 3.2 (golden: legacy interval)",
+        "select make_date(-44, 3, 15)": "make_date rejects negative years under ANSI since 3.2 (golden: 0045-03-15 BC)",
+    },
 }
 
 #: Spark-vs-DuckDB known dialect divergences excluded from the
@@ -225,9 +284,9 @@ def test_golden_file(spark, rel):
 
 def test_golden_corpus_counts(spark):
     """Pin the sweep's aggregate shape so a silently-shrinking corpus
-    or an over-eager skip list is caught: >=2600 value-compared
-    statements, >=900 pinned-error statements, and <=30 documented
-    skips across all 75 files."""
+    or an over-eager skip list is caught: >=3200 value-compared
+    statements, >=950 pinned-error statements, and <=60 documented
+    skips across all 92 files."""
     ok = setup = err = skipped = 0
     for rel in FILES:
         for r in g.run_file(spark, rel, SKIPS.get(rel, {})):
@@ -235,9 +294,9 @@ def test_golden_corpus_counts(spark):
             setup += r.status == "setup"
             err += r.status == "error_ok"
             skipped += r.status == "skipped"
-    assert ok >= 2600, ok
-    assert err >= 900, err
-    assert skipped <= 30, skipped
+    assert ok >= 3200, ok
+    assert err >= 950, err
+    assert skipped <= 60, skipped
 
 
 def test_duckdb_cross_check(spark):
