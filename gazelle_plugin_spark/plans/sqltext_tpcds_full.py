@@ -134,6 +134,91 @@ TPCDS_FULL_FITTED_SUBS: dict[str, dict[str, str]] = {
 }
 
 
+#: Value-preserving OUTPUT casts applied to the DuckDB side only, as
+#: an outer SELECT around the verbatim text (the established oracle
+#: convention for physical-type divergence): DuckDB SUM(INTEGER)
+#: returns HUGEINT (pandas float64) where Spark returns BIGINT, and
+#: Spark types grouping()/rank() narrower (TINYINT/INT) than DuckDB.
+#: (name -> ordered (column, duck_cast_type|None) list; None = pass
+#: through unchanged.)
+ORACLE_OUT_CASTS: dict[str, list[tuple[str, str | None]]] = {
+    "q21": [
+        ("w_warehouse_name", None),
+        ("i_item_id", None),
+        ("inv_before", "BIGINT"),
+        ("inv_after", "BIGINT"),
+    ],
+    "q29": [
+        ("i_item_id", None),
+        ("i_item_desc", None),
+        ("s_store_id", None),
+        ("s_store_name", None),
+        ("store_sales_quantity", "BIGINT"),
+        ("store_returns_quantity", "BIGINT"),
+        ("catalog_sales_quantity", "BIGINT"),
+    ],
+    "q50": [
+        ("s_store_name", None),
+        ("s_company_id", None),
+        ("s_street_number", None),
+        ("s_street_name", None),
+        ("s_street_type", None),
+        ("s_suite_number", None),
+        ("s_city", None),
+        ("s_county", None),
+        ("s_state", None),
+        ("s_zip", None),
+        ("30 days ", "BIGINT"),
+        ("31 - 60 days ", "BIGINT"),
+        ("61 - 90 days ", "BIGINT"),
+        ("91 - 120 days ", "BIGINT"),
+        (">120 days ", "BIGINT"),
+    ],
+    "q62": [
+        ("substr(w_warehouse_name, 1, 20)", None),
+        ("sm_type", None),
+        ("web_name", None),
+        ("30 days ", "BIGINT"),
+        ("31 - 60 days ", "BIGINT"),
+        ("61 - 90 days ", "BIGINT"),
+        ("91 - 120 days ", "BIGINT"),
+        (">120 days ", "BIGINT"),
+    ],
+    "q86": [
+        ("total_sum", None),
+        ("i_category", None),
+        ("i_class", None),
+        ("lochierarchy", "TINYINT"),
+        ("rank_within_parent", "INTEGER"),
+    ],
+    "q97": [
+        ("store_only", "BIGINT"),
+        ("catalog_only", "BIGINT"),
+        ("store_and_catalog", "BIGINT"),
+    ],
+    "q99": [
+        ("substr(w_warehouse_name, 1, 20)", None),
+        ("sm_type", None),
+        ("cc_name", None),
+        ("30 days ", "BIGINT"),
+        ("31 - 60 days ", "BIGINT"),
+        ("61 - 90 days ", "BIGINT"),
+        ("91 - 120 days ", "BIGINT"),
+        (">120 days ", "BIGINT"),
+    ],
+}
+
+
+def _out_cast_wrap(name: str, text: str) -> str:
+    spec = ORACLE_OUT_CASTS.get(name)
+    if not spec:
+        return text
+    cols = ", ".join(
+        f'CAST("{c}" AS {t}) AS "{c}"' if t else f'"{c}"' for c, t in spec
+    )
+    return f"SELECT {cols} FROM (\n{text}\n) _out"
+
+
 def fitted_full_text(name: str) -> str:
     text = load_text(TPCDS_FULL_FAMILY, name)
     return sub_literals(text, TPCDS_FULL_FITTED_SUBS.get(name) or {})
@@ -151,7 +236,7 @@ def run_tpcds_full(
 
 def tpcds_full_oracle_sql(name: str, fitted: bool = False) -> str:
     text = fitted_full_text(name) if fitted else load_text(TPCDS_FULL_FAMILY, name)
-    return merge_prelude(tpcds_prelude(), _oracle_dialect(name, text))
+    return merge_prelude(tpcds_prelude(), _out_cast_wrap(name, _oracle_dialect(name, text)))
 
 
 def _register(qname: str, name: str, fitted: bool) -> None:
