@@ -1,10 +1,10 @@
 """Golden-file SQL conformance sweep (plans/sqlgolden.py).
 
-Replays 97 files of the reference's vendored Spark SQL query test
+Replays 104 files of the reference's vendored Spark SQL query test
 corpus (sql-tests/inputs + results; the reference validates its native
 engine by replaying the same files through SQLQueryTestSuite /
 NativeSQLConvertedSuite.scala) against the pinned expected outputs:
-~4,900 statements — every SELECT compared as typed values, setup DDL
+~5,200 statements — every SELECT compared as typed values, setup DDL
 executed, expected-error statements asserted to error.
 
 SKIPS documents every known Spark 3.1 -> 4 behavior divergence — each
@@ -140,7 +140,24 @@ PG_FILES = [
     "postgreSQL/date",
 ]
 
-FILES = DUCK_FILES + EXPR_FILES + PG_FILES
+#: Tranche 4 (round 9, late): the ansi/ goldens — the SAME input files
+#: replayed by the suite's ANSI path (sqlgolden.file_confs turns ANSI
+#: on).  ansi/interval is excluded: the legacy CalendarInterval system
+#: those goldens pin was replaced wholesale by ANSI interval TYPES in
+#: Spark 3.2+ (56/110 statements diverge); ansi/map is excluded as
+#: all-skip (Spark 4 relaxed ANSI element_at/[] on a missing key to
+#: NULL, which is the file's entire subject).
+ANSI_FILES = [
+    "ansi/array",
+    "ansi/datetime",
+    "ansi/decimalArithmeticOperations",
+    "ansi/higher-order-functions",
+    "ansi/literals",
+    "ansi/parse-schema-string",
+    "ansi/string-functions",
+]
+
+FILES = DUCK_FILES + EXPR_FILES + PG_FILES + ANSI_FILES
 
 #: Documented Spark 3.1 -> 4 behavior divergences (golden no longer
 #: applies on a current Spark).  Key = Case.key (70-char normalized SQL
@@ -204,6 +221,44 @@ SKIPS: dict[str, dict[str, str]] = {
     },
     "typeCoercion/native/mapconcat": {
         "SELECT map_concat(boolean_map1, boolean_map2) boolean_map, map_concat(": "pyspark 4 cannot collect maps with array keys (unhashable in the Python converter)",
+    },
+    "ansi/array": {
+        "select sort_array(array('b', 'd'), cast(NULL as boolean))": "Spark 4 accepts a NULL sort-order flag (3.1 errored)",
+    },
+    "ansi/datetime": {
+        # 3.1's ANSI parser reserved current_date/current_timestamp as
+        # column names and rejected string day-counts in date_add/sub;
+        # plus the same ANSI-interval typing family as the non-ansi file.
+        "select current_date = current_date(), current_timestamp = current_time": "3.1 ANSI reserved current_date/current_timestamp; Spark 4 resolves them",
+        "create temporary view ttf1 as select * from values (1, 2), (2, 3) as t": "3.1 ANSI reserved current_date/current_timestamp as column names",
+        "select current_date, current_timestamp from ttf1": "3.1 ANSI reserved current_date/current_timestamp as column names",
+        "select date_add('2011-11-11', str) from v": "date_add with a string day count is accepted again (3.1 ANSI errored)",
+        "select date_sub('2011-11-11', str) from v": "date_sub with a string day count is accepted again (3.1 ANSI errored)",
+        "select date'2011-11-11 11:11:11' + interval '2' second": "date +- sub-day interval keeps DATE under ANSI-interval rules since 3.2 (3.1 errored under ANSI)",
+        "select date'2011-11-11 11:11:11' - interval '2' second": "date +- sub-day interval keeps DATE under ANSI-interval rules since 3.2 (3.1 errored under ANSI)",
+        "select date'2020-01-01' - timestamp'2019-10-06 10:11:12.345678'": "timestamp-date subtraction is typed INTERVAL DAY TO SECOND since Spark 3.2 (golden: legacy interval)",
+        "select timestamp'2019-10-06 10:11:12.345678' - date'2020-01-01'": "timestamp-date subtraction is typed INTERVAL DAY TO SECOND since Spark 3.2 (golden: legacy interval)",
+        "select timestamp'2019-10-06 10:11:12.345678' - null": "timestamp-null subtraction is typed INTERVAL DAY TO SECOND since Spark 3.2 (golden: legacy interval)",
+        "select null - timestamp'2019-10-06 10:11:12.345678'": "timestamp-null subtraction is typed INTERVAL DAY TO SECOND since Spark 3.2 (golden: legacy interval)",
+        "select null + date '2001-09-28'": "null+-date is typed date arithmetic since 3.2 (golden: legacy timestamp/interval result)",
+        "select date '2001-09-28' + null": "null+-date is typed date arithmetic since 3.2 (golden: legacy timestamp/interval result)",
+        "select date '2001-09-28' - null": "null+-date is typed date arithmetic since 3.2 (golden: legacy timestamp/interval result)",
+        "select null - date '2019-10-06'": "null+-date is typed date arithmetic since 3.2 (golden: legacy timestamp/interval result)",
+        "select date '2001-10-01' - date '2001-09-28'": "date-date subtraction is typed INTERVAL DAY since Spark 3.2 (golden: legacy interval)",
+    },
+    "ansi/higher-order-functions": {
+        "select transform(ys, all -> all * all) as v from values (array(32, 97)": "'all' is usable as a lambda parameter again (3.1 ANSI reserved it)",
+        "select transform(ys, (all, i) -> all + i) as v from values (array(32, ": "'all' is usable as a lambda parameter again (3.1 ANSI reserved it)",
+        "select aggregate(split('abcdefgh',''), array(array('')), (acc, x) -> a": "split on an empty regex no longer yields a leading empty element (SPARK-36255 area)",
+    },
+    "ansi/literals": {
+        "select '\\'', '\"', '\\n', '\\r', '\\t', 'Z'": "literal TAB characters in the output are indistinguishable from the golden's cell separator",
+        "select x'2379ACFe'": "binary golden rendered via lossy UTF-8 (0xAC/0xFE are not valid UTF-8); not round-trippable",
+        "select +interval '1 day'": "interval literals are typed as ANSI day-time intervals since Spark 3.2",
+    },
+    "ansi/parse-schema-string": {
+        "select from_csv('1', 'create INT')": "ANSI-reserved keywords are legal schema field names again (3.1 errored)",
+        "select from_json('{\"create\":1}', 'create INT')": "ANSI-reserved keywords are legal schema field names again (3.1 errored)",
     },
     "datetime": {
         # date/timestamp +- interval/null/date arithmetic is typed as
@@ -306,8 +361,8 @@ def test_golden_file(spark, rel):
 def test_golden_corpus_counts(spark):
     """Pin the sweep's aggregate shape so a silently-shrinking corpus
     or an over-eager skip list is caught: >=3200 value-compared
-    statements, >=950 pinned-error statements, and <=75 documented
-    skips across all 97 files."""
+    statements, >=950 pinned-error statements, and <=100 documented
+    skips across all 104 files."""
     ok = setup = err = skipped = 0
     for rel in FILES:
         for r in g.run_file(spark, rel, SKIPS.get(rel, {})):
@@ -316,8 +371,8 @@ def test_golden_corpus_counts(spark):
             err += r.status == "error_ok"
             skipped += r.status == "skipped"
     assert ok >= 3350, ok
-    assert err >= 950, err
-    assert skipped <= 75, skipped
+    assert err >= 1050, err
+    assert skipped <= 100, skipped
 
 
 def test_duckdb_cross_check(spark):
