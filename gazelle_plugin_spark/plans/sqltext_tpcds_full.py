@@ -90,6 +90,11 @@ ORACLE_PATCHES: dict[str, list[tuple[str, str]]] = {
     # ``returns`` is a DuckDB reserved word; quote it wherever the
     # text uses it as a column alias / reference.
     "q77": [(r"\breturns\b", '"returns"')],
+    # Dialect DEFAULT null ordering: Spark sorts NULLS FIRST asc,
+    # DuckDB NULLS LAST — q5's ROLLUP emits NULL channel/id rows that
+    # straddle the LIMIT 100 boundary, so the oracle must pin Spark's
+    # default (value-preserving: same rows, same order semantics).
+    "q5": [(r"ORDER BY channel, id", "ORDER BY channel NULLS FIRST, id NULLS FIRST")],
 }
 
 
@@ -209,13 +214,29 @@ ORACLE_OUT_CASTS: dict[str, list[tuple[str, str | None]]] = {
 }
 
 
+#: Oracle-side output RENAMES: unaliased count(*) is named count(1) by
+#: Spark but count_star() by DuckDB — alias the DuckDB column to the
+#: Spark name (the driver compare pairs columns BY NAME).
+#: name -> ordered (duck_name, spark_name) list for single-column
+#: count outputs.
+ORACLE_OUT_RENAMES: dict[str, list[tuple[str, str]]] = {
+    "q38": [("count_star()", "count(1)")],
+    "q87": [("count_star()", "count(1)")],
+    "q96": [("count_star()", "count(1)")],
+}
+
+
 def _out_cast_wrap(name: str, text: str) -> str:
     spec = ORACLE_OUT_CASTS.get(name)
-    if not spec:
+    renames = ORACLE_OUT_RENAMES.get(name)
+    if not spec and not renames:
         return text
-    cols = ", ".join(
-        f'CAST("{c}" AS {t}) AS "{c}"' if t else f'"{c}"' for c, t in spec
-    )
+    if spec:
+        cols = ", ".join(
+            f'CAST("{c}" AS {t}) AS "{c}"' if t else f'"{c}"' for c, t in spec
+        )
+    else:
+        cols = ", ".join(f'"{src}" AS "{out}"' for src, out in renames)
     return f"SELECT {cols} FROM (\n{text}\n) _out"
 
 
@@ -266,6 +287,17 @@ def _register(qname: str, name: str, fitted: bool) -> None:
 #: fitted) — fitted only where the default substitutions are vacuous
 #: on this data's domains.
 DRIVER_TRANCHE: tuple[tuple[str, bool], ...] = (
+    # round-9 late additions (never in a DRIVER_WINDOW yet — rotation
+    # stock for round 10): verbatim-non-vacuous, value-safe outputs
+    # (sums of exact decimals / counts / attributes; no avg-threshold
+    # dependence), dtype-parity vetted against DuckDB.
+    ("q5", False),
+    ("q19", False),
+    ("q38", False),
+    ("q87", False),
+    ("q94", False),
+    ("q95", False),
+    ("q96", False),
     ("q10", True),
     ("q15", False),
     ("q16", False),
