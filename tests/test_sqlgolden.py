@@ -1,10 +1,10 @@
 """Golden-file SQL conformance sweep (plans/sqlgolden.py).
 
-Replays 122 files of the reference's vendored Spark SQL query test
+Replays 128 files of the reference's vendored Spark SQL query test
 corpus (sql-tests/inputs + results; the reference validates its native
 engine by replaying the same files through SQLQueryTestSuite /
 NativeSQLConvertedSuite.scala) against the pinned expected outputs:
-~5,400 statements — every SELECT compared as typed values, setup DDL
+~6,000 statements — every SELECT compared as typed values, setup DDL
 executed, expected-error statements asserted to error.
 
 SKIPS documents every known Spark 3.1 -> 4 behavior divergence — each
@@ -128,6 +128,12 @@ EXPR_FILES = [
     "typeCoercion/native/elt",
     "typeCoercion/native/arrayJoin",
     "typeCoercion/native/mapconcat",
+    "typeCoercion/native/dateTimeOperations",
+    "typeCoercion/native/mapZipWith",
+    "typeCoercion/native/promoteStrings",
+    "typeCoercion/native/stringCastAndExpressions",
+    "typeCoercion/native/widenSetOperationTypes",
+    "typeCoercion/native/windowFrameCoercion",
     "datetime",
     "decimalArithmeticOperations",
     "columnresolution",
@@ -239,6 +245,15 @@ SKIPS: dict[str, dict[str, str]] = {
     },
     "typeCoercion/native/mapconcat": {
         "SELECT map_concat(boolean_map1, boolean_map2) boolean_map, map_concat(": "pyspark 4 cannot collect maps with array keys (unhashable in the Python converter)",
+    },
+    "typeCoercion/native/mapZipWith": {
+        "SELECT map_zip_with(decimal_map1, decimal_map2, (k, v1, v2) -> struct(": "map_zip_with coerces mismatched decimal key precisions since 3.x (golden: error)",
+        "SELECT map_zip_with(decimal_map2, int_map, (k, v1, v2) -> struct(k, v1": "map_zip_with coerces decimal-vs-int keys since 3.x (golden: error)",
+        "SELECT map_zip_with(array_map1, array_map2, (k, v1, v2) -> struct(k, v": "pyspark 4 cannot collect maps with array keys (unhashable in the Python converter)",
+        "SELECT map_zip_with(struct_map1, struct_map2, (k, v1, v2) -> struct(k,": "struct-keyed map golden cells are not parseable by the harness cell grammar",
+    },
+    "typeCoercion/native/promoteStrings": {
+        "SELECT '1' - cast('2017-12-11 09:30:00' as date) FROM t": "string-minus-date is typed date arithmetic since 3.2 (golden: legacy double)",
     },
     "ansi/array": {
         "select sort_array(array('b', 'd'), cast(NULL as boolean))": "Spark 4 accepts a NULL sort-order flag (3.1 errored)",
@@ -392,7 +407,7 @@ def test_golden_corpus_counts(spark):
     """Pin the sweep's aggregate shape so a silently-shrinking corpus
     or an over-eager skip list is caught: >=3200 value-compared
     statements, >=950 pinned-error statements, and <=100 documented
-    skips across all 122 files."""
+    skips across all 128 files."""
     ok = setup = err = skipped = 0
     for rel in FILES:
         for r in g.run_file(spark, rel, SKIPS.get(rel, {})):
@@ -400,8 +415,8 @@ def test_golden_corpus_counts(spark):
             setup += r.status == "setup"
             err += r.status == "error_ok"
             skipped += r.status == "skipped"
-    assert ok >= 3600, ok
-    assert err >= 1050, err
+    assert ok >= 4000, ok
+    assert err >= 1200, err
     assert skipped <= 100, skipped
 
 
