@@ -388,11 +388,9 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     if compare:
-        # Tail keys on purpose: the driver keeps only the JSON TAIL,
-        # so the informative entries must sit nearest the end
-        # (round-6 item 4 / round-8 item 5). >1.0 = engine faster.
-        # Ratios are emitted BEST-FIRST: head truncation drops the
-        # healthy queries and the weak ones survive.
+        # >1.0 = engine faster. Ratios are emitted BEST-FIRST so tail
+        # truncation (if it ever happens again) drops the healthy
+        # queries and the weak ones survive.
         rd = {
             n: round(vtimings[n] / timings[n], 3)
             for n in names
@@ -401,9 +399,6 @@ def main() -> None:
         result["ratios"] = dict(
             sorted(rd.items(), key=lambda kv: kv[1], reverse=True)
         )
-        # ... and the single headline number goes LAST so it survives
-        # even when the ratios dict itself is cut (round-7 verdict
-        # item 8): geomean + the worst queries for either side.
         if rd:
             gm = round(math.exp(sum(math.log(r) for r in rd.values()) / len(rd)), 4)
             worst = sorted(rd.items(), key=lambda kv: kv[1])[:10]
@@ -411,7 +406,70 @@ def main() -> None:
                 "geomean": gm,
                 "worst": [{"q": n, "ratio": r} for n, r in worst],
             }
-    print(json.dumps(result))
+
+    # Full-precision per-query detail goes to a SIDE file; stdout gets
+    # ONE compact line sized to survive the driver's ~2000-char tail
+    # capture, so BENCH_r{N}.json parses end-to-end (round-9 verdict
+    # item 1: every prior round's artifact had "parsed": null).
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        detail_path = None
+    line_cap = int(os.environ.get("SPARK_GRAFT_BENCH_LINECAP", "1900"))
+
+    compact = {
+        k: result[k]
+        for k in (
+            "metric",
+            "unit",
+            "sf",
+            "reps",
+            "value",
+            "compared_queries",
+            "engine_total_compared",
+            "vanilla_total",
+            "geomean_speedup_vs_vanilla",
+            "worker_respawns",
+        )
+        if k in result
+    }
+    if detail_path:
+        compact["detail_file"] = detail_path
+    if errors:
+        compact["errors"] = {n: e[:120] for n, e in errors.items()}
+    if result.get("vanilla_errors"):
+        compact["vanilla_errors"] = {
+            n: e[:120] for n, e in result["vanilla_errors"].items()
+        }
+
+    def _line(n_queries: int | None) -> str:
+        c = dict(compact)
+        qnames = sorted(timings, key=timings.get, reverse=True)
+        if n_queries is not None and len(qnames) > n_queries:
+            qnames = qnames[:n_queries]
+            c["queries_truncated_to_slowest"] = n_queries
+        c["queries"] = {n: round(timings[n], 2) for n in qnames}
+        if result.get("ratios"):
+            # worst-first here (opposite of the side file): with the
+            # summary these are the entries worth a compact line's bytes
+            rnames = sorted(result["ratios"], key=result["ratios"].get)
+            if n_queries is not None and len(rnames) > n_queries:
+                rnames = rnames[:n_queries]
+            c["ratios_worst_first"] = {n: result["ratios"][n] for n in rnames}
+        if "summary" in result:
+            c["summary"] = result["summary"]
+        return json.dumps(c, separators=(",", ":"))
+
+    for budget in (None, 30, 12, 0):
+        line = _line(budget)
+        if len(line) <= line_cap:
+            break
+    print(line)
 
 
 if __name__ == "__main__":

@@ -295,9 +295,10 @@ def decode_pixels(b: bytes):
 
     fmt, w, h, _mode = decode_header(b)
     if fmt == "PPM" and w and h:
-        # pixel data starts after the maxval token + one whitespace
+        # pixel data starts after the maxval token + one whitespace;
+        # maxval > 255 means 2 bytes per sample, big-endian (netpbm spec)
         depth = 1 if b[:2] == b"P5" else 3
-        i, vals = 2, 0
+        i, vals, maxval = 2, 0, 0
         while vals < 3 and i < min(len(b), 512):
             c = b[i : i + 1]
             if c == b"#":
@@ -306,14 +307,16 @@ def decode_pixels(b: bytes):
             elif c.isspace():
                 i += 1
             elif c.isdigit():
-                while i < len(b) and b[i : i + 1].isdigit():
-                    i += 1
-                vals += 1
+                j = i
+                while j < len(b) and b[j : j + 1].isdigit():
+                    j += 1
+                maxval, i, vals = int(b[i:j]), j, vals + 1
             else:
                 break
         i += 1  # single whitespace after maxval
-        px = np.frombuffer(b, dtype=np.uint8, count=w * h * depth, offset=i)
-        return px.reshape((h, w, depth) if depth > 1 else (h, w)).copy()
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        px = np.frombuffer(b, dtype=dtype, count=w * h * depth, offset=i)
+        return px.reshape((h, w, depth) if depth > 1 else (h, w)).astype(px.dtype.newbyteorder("="))
     if fmt == "BMP" and w and h:
         off = struct.unpack_from("<I", b, 10)[0]
         bpp = struct.unpack_from("<H", b, 28)[0]

@@ -228,15 +228,26 @@ ORACLE_OUT_RENAMES: dict[str, list[tuple[str, str]]] = {
 
 def _out_cast_wrap(name: str, text: str) -> str:
     spec = ORACLE_OUT_CASTS.get(name)
-    renames = ORACLE_OUT_RENAMES.get(name)
+    renames = dict(ORACLE_OUT_RENAMES.get(name, ()))
     if not spec and not renames:
         return text
     if spec:
+        # one merged projection: cast AND rename per column, so a query
+        # appearing in both specs drops neither
         cols = ", ".join(
-            f'CAST("{c}" AS {t}) AS "{c}"' if t else f'"{c}"' for c, t in spec
+            (
+                f'CAST("{c}" AS {t}) AS "{renames.pop(c, c)}"'
+                if t
+                else f'"{c}" AS "{renames.pop(c, c)}"'
+            )
+            for c, t in spec
+        )
+        assert not renames, (
+            f"{name}: ORACLE_OUT_RENAMES columns {sorted(renames)} absent "
+            "from its ORACLE_OUT_CASTS projection — merge them there"
         )
     else:
-        cols = ", ".join(f'"{src}" AS "{out}"' for src, out in renames)
+        cols = ", ".join(f'"{src}" AS "{out}"' for src, out in renames.items())
     return f"SELECT {cols} FROM (\n{text}\n) _out"
 
 

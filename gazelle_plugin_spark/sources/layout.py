@@ -139,14 +139,22 @@ def compact(
     import shutil
 
     base = path.rstrip("/")
+    # Crash cleanup runs on EVERY entry: a previous compact() that died
+    # before its first rename leaks <path>.compact.<pid>; one that died
+    # after its second rename (before rmtree) leaks <path>.old.<pid>.
+    for orphan in glob.glob(f"{base}.compact.*"):
+        shutil.rmtree(orphan, ignore_errors=True)
+    stranded = sorted(glob.glob(f"{base}.old.*"), key=os.path.getmtime)
     if not os.path.exists(path):
         # crash recovery: a previous compact() died between its two
         # renames — restore the newest stranded snapshot
-        stranded = sorted(glob.glob(f"{base}.old.*"), key=os.path.getmtime)
         if stranded:
             os.rename(stranded[-1], path)
-            for extra in stranded[:-1]:
-                shutil.rmtree(extra, ignore_errors=True)
+            stranded = stranded[:-1]
+    # with path present, every .old snapshot is superseded garbage —
+    # keeping it risks "recovering" it over a later deliberate delete
+    for extra in stranded:
+        shutil.rmtree(extra, ignore_errors=True)
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:

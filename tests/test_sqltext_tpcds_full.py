@@ -32,10 +32,13 @@ from gazelle_plugin_spark.plans import sqltext_tpcds_full as fx
 
 from .conftest import SF_MED
 
-pytestmark = pytest.mark.skipif(
-    not fx.tpcds_full_corpus_available(),
-    reason="reference TPC-DS SQL corpus not present on this machine",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not fx.tpcds_full_corpus_available(),
+        reason="reference TPC-DS SQL corpus not present on this machine",
+    ),
+    pytest.mark.conformance,
+]
 
 EMPTY_ROLLUP_DIVERGENT = frozenset({"q14a", "q27", "q36"})
 LIMIT_TIE = frozenset({"q75"})
