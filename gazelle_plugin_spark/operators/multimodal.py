@@ -282,18 +282,96 @@ def decode_header(b: bytes) -> tuple[str, int | None, int | None, str | None]:
     return "unknown", None, None, None
 
 
+def _png_pixels(b: bytes):
+    """Codec-free PNG pixel decode: stdlib zlib inflate + numpy
+    per-scanline unfilter (the five PNG filter types are simple byte
+    recurrences — RFC 2083 §6). Supports the common web shapes:
+    8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced.
+    16-bit and Adam7 raise NotImplementedError (fail-loud contract)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, pos)
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if interlace != 0:
+        raise NotImplementedError("PNG Adam7 interlace is not supported")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} is not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"malformed PNG: color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("malformed PNG: IDAT size mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        if f == 0:  # None
+            rec = line.copy()
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] — a
+            # per-channel cumulative sum mod 256 (uint8 cumsum wraps)
+            rec = line.reshape(w, nch).cumsum(axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 2:  # Up (vectorized: uint8 addition wraps)
+            rec = line + prev
+        elif f in (3, 4):  # Average / Paeth: left-recurrences, per byte
+            rec = np.empty(stride, np.uint8)
+            for i in range(stride):
+                a = int(rec[i - nch]) if i >= nch else 0
+                up = int(prev[i])
+                if f == 3:
+                    pr = (a + up) >> 1
+                else:
+                    ul = int(prev[i - nch]) if i >= nch else 0
+                    p = a + up - ul
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                    pr = a if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                rec[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: filter type {f}")
+        out[y] = rec
+        prev = rec
+    if ctype == 3:  # palette indices -> RGB
+        if plte is None:
+            raise ValueError("malformed PNG: palette image without PLTE")
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        return pal[out.reshape(h, w)]
+    return out.reshape((h, w, nch) if nch > 1 else (h, w))
+
+
 def decode_pixels(b: bytes):
     """Decode a blob to a raster numpy array. Codec-free formats decode
-    natively: netpbm P5/P6 (raw grayscale / RGB) and uncompressed 24/
-    32-bit BMP. Compressed formats (PNG/JPEG/GIF/WEBP) require a codec
-    library this environment does not ship — the documented env-gated
-    NotImplementedError lives HERE, at the pixel grain, not in header
-    metadata (decode_header is total)."""
+    natively: netpbm P5/P6 (raw grayscale / RGB), uncompressed 24/
+    32-bit BMP, and PNG (stdlib zlib + numpy unfilter — _png_pixels).
+    JPEG/GIF/WEBP require a codec library this environment does not
+    ship — the documented env-gated NotImplementedError lives HERE, at
+    the pixel grain, not in header metadata (decode_header is total)."""
     import struct
 
     import numpy as np
 
     fmt, w, h, _mode = decode_header(b)
+    if fmt == "PNG":
+        return _png_pixels(b)
     if fmt == "PPM" and w and h:
         # pixel data starts after the maxval token + one whitespace;
         # maxval > 255 means 2 bytes per sample, big-endian (netpbm spec)
@@ -335,9 +413,10 @@ def decode_pixels(b: bytes):
             "needs a codec library; this environment ships none"
         )
     raise NotImplementedError(
-        f"decode_pixels: {fmt} pixel decode needs a codec library; this "
-        "environment ships none (header metadata decodes natively — "
-        "see decode_header)"
+        f"decode_pixels: {fmt} pixel decode needs a codec library (JPEG/"
+        "GIF/WEBP entropy coding); this environment ships none (header "
+        "metadata decodes natively for all formats — see decode_header; "
+        "PNG/BMP/netpbm pixels decode codec-free)"
     )
 
 

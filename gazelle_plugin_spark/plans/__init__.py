@@ -51,6 +51,7 @@ def load_all() -> None:
         sqltext,
         sqltext_tpcds,
         sqltext_tpcds_full,
+        sqltext_tpcds_v27,
         layout,
     )
 
@@ -70,56 +71,44 @@ def load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # NEW in round 9, never driver-verified: the reference's FULL
-    # TPC-DS corpus tranche (plans/sqltext_tpcds_full.py) — 28
-    # value-safe texts executed verbatim over the widened star catalog
-    "tpcdsfull_q10",
-    "tpcdsfull_q15",
-    "tpcdsfull_q16",
-    "tpcdsfull_q21",
-    "tpcdsfull_q23a",
-    "tpcdsfull_q25",
-    "tpcdsfull_q29",
-    "tpcdsfull_q30",
-    "tpcdsfull_q33",
-    "tpcdsfull_q37",
-    "tpcdsfull_q40",
-    "tpcdsfull_q45",
-    "tpcdsfull_q48",
-    "tpcdsfull_q50",
-    "tpcdsfull_q56",
-    "tpcdsfull_q60",
-    "tpcdsfull_q62",
-    "tpcdsfull_q69",
-    "tpcdsfull_q71",
-    "tpcdsfull_q72",
-    "tpcdsfull_q81",
-    "tpcdsfull_q82",
-    "tpcdsfull_q84",
-    "tpcdsfull_q86",
-    "tpcdsfull_q88",
-    "tpcdsfull_q93",
-    "tpcdsfull_q97",
-    "tpcdsfull_q99",
-    # PLAN/IMPL CHANGED in round 9 — need fresh driver evidence:
-    "doc_incremental_dedup",  # asymmetric hot-bucket guard (cap_bucket_probe)
-    "doc_simhash_neardup",    # band self-join hot-bucket guard
-    "mm_byte_features",       # chunk-bounded byte-stat kernel (mm_ slot)
-    # stalest per-family evidence refresh (emb_ r04, events_/expr_ r05)
-    "emb_centroid_assign",
-    "events_frames",
-    "expr_conditional",
-    # STALE-EVIDENCE refresh: every remaining slot goes to rows whose
-    # last driver green was r02 — all 10 r02 ds_ rows, the r02 rel_
-    # rollup family, and the head of the r02 TPC-H/SSB list. The 12
-    # r02 stragglers (q7/q10/q12/q13/q14/q15/q17/q20,
-    # ssb2_2/3_2/3_3/4_2) rotate in r10 — never-verified beat
-    # second-confirmation for this round's slots.
-    "ds_class_share", "ds_dow_pivot", "ds_exists_disjunction",
-    "ds_freq_buyers", "ds_rev_fraction", "ds_rollup_star",
-    "ds_ss_max", "ds_trip_mismatch", "ds_week_compare", "ds_window_dev",
-    "rel_cube", "rel_grouping_sets", "rel_union_all",
-    "q4", "ssb1_2",
+    # NEVER driver-verified first (rotation policy): the 7 round-9
+    # late-addition tpcdsfull rows ...
+    "tpcdsfull_q5",
+    "tpcdsfull_q19",
+    "tpcdsfull_q38",
+    "tpcdsfull_q87",
+    "tpcdsfull_q94",
+    "tpcdsfull_q95",
+    "tpcdsfull_q96",
+    # ... and the NEW round-10 TPC-DS v2.7.0 variant tranche
+    # (plans/sqltext_tpcds_v27.py) — 12 value-safe texts executed
+    # verbatim/fitted over the same widened star catalog
+    "dsv27_q5a",
+    "dsv27_q6",
+    "dsv27_q10a",
+    "dsv27_q11",
+    "dsv27_q14a",
+    "dsv27_q34",
+    "dsv27_q67a",
+    "dsv27_q70a",
+    "dsv27_q74",
+    "dsv27_q75",
+    "dsv27_q80a",
+    "dsv27_q86a",
+    # STALEST evidence next: the 12 rows whose only driver green is
+    # r02 (TPC-H q7-q20 stragglers + the SSB flights)
+    "q7", "q10", "q12", "q13", "q14", "q15", "q17", "q20",
+    "ssb2_2", "ssb3_2", "ssb3_3", "ssb4_2",
+    # ... then the full r04 cohort (last green 6 rounds ago)
+    "doc_lang_id", "doc_quality", "doc_simhash", "doc_text_stats",
+    "doc_token_counts", "emb_topk_cosine", "rel_collect",
+    "rel_cross_join", "rel_except", "rel_intersect", "rel_union_distinct",
+    # ... and 7 r05 rows chosen to keep the per-family invariant
+    # (events_/expr_/mm_/ds_ each need a representative)
+    "events_lag_lead", "events_sessionize",
+    "expr_string", "expr_math",
+    "mm_blob_stats", "mm_frame_sample",
+    "ds_double_exists",
 )
 
 #: Window entries with NO DuckDB oracle. Empty since round 8:
@@ -138,7 +127,12 @@ def _conditionally_absent() -> frozenset[str]:
     read-only reference checkout exists (plans/sqltext.py REF_SQL_ROOT);
     everywhere else the registry must degrade gracefully rather than
     hard-fail on the curated window."""
-    from gazelle_plugin_spark.plans import sqltext, sqltext_tpcds, sqltext_tpcds_full
+    from gazelle_plugin_spark.plans import (
+        sqltext,
+        sqltext_tpcds,
+        sqltext_tpcds_full,
+        sqltext_tpcds_v27,
+    )
 
     absent: set[str] = set()
     if not sqltext.corpus_available():
@@ -147,6 +141,8 @@ def _conditionally_absent() -> frozenset[str]:
         absent.update(n for n in DRIVER_WINDOW if n.startswith("dstext_"))
     if not sqltext_tpcds_full.tpcds_full_corpus_available():
         absent.update(n for n in DRIVER_WINDOW if n.startswith("tpcdsfull_"))
+    if not sqltext_tpcds_v27.tpcds_v27_corpus_available():
+        absent.update(n for n in DRIVER_WINDOW if n.startswith("dsv27_"))
     return frozenset(absent)
 
 

@@ -358,7 +358,17 @@ def normalize_output(df: DataFrame) -> DataFrame:
     the cross-engine pandas compare sees the same representations
     (DuckDB's client does the identical conversion on its side). The
     underlying values are exact decimals / midnight dates, so the
-    conversion is lossless and engine-independent."""
+    conversion is lossless and engine-independent.
+
+    Duplicate-safe: texts that project both sides of a self-join
+    (TPC-DS q14/q64: ``select cs1.*, cs2.*``-style output) emit
+    DUPLICATE column names, which a name-based select would reject as
+    AMBIGUOUS_REFERENCE — so the cast runs under temporary positional
+    names and the original names are restored afterwards."""
+    names = [f.name for f in df.schema.fields]
+    dup = len(set(names)) != len(names)
+    if dup:
+        df = df.toDF(*[f"_nrm_{i}" for i in range(len(names))])
     cols = []
     for f in df.schema.fields:
         c = F.col(f.name)
@@ -367,7 +377,8 @@ def normalize_output(df: DataFrame) -> DataFrame:
         elif isinstance(f.dataType, T.DateType):
             c = c.cast("timestamp")
         cols.append(c.alias(f.name))
-    return df.select(*cols)
+    out = df.select(*cols)
+    return out.toDF(*names) if dup else out
 
 
 def run_text(

@@ -28,12 +28,12 @@ Three adaptation layers, none of which touches the Spark-side text:
   design; a fitted variant is a legal substitution set and must be
   non-empty).
 
-Known non-portable texts (SKIP_SPARK / the test sweep's skip list):
-q14b/q39a/q39b/q64 fail on Spark 4 itself with AMBIGUOUS_REFERENCE —
-the texts target Spark 3.1's laxer resolution rules, so no catalog
-can run them verbatim on a current Spark. Documented divergences that
-keep a query out of the strict driver gate but inside the tolerance-
-compared pytest sweep are listed in tests/test_sqltext_tpcds_full.py.
+All 103 files run (round 10 closed the last four: q14b/q39a/q39b/q64
+project duplicate column names from self-join sides, which needed a
+duplicate-safe normalize_output, not a catalog change). Documented
+divergences that keep a query out of the strict driver gate but
+inside the tolerance-compared pytest sweep are listed in
+tests/test_sqltext_tpcds_full.py.
 """
 
 from __future__ import annotations
@@ -68,10 +68,13 @@ def tpcds_full_names() -> list[str]:
     return sorted(f[:-4] for f in os.listdir(root) if f.endswith(".sql"))
 
 
-#: Texts that Spark 4 itself rejects (AMBIGUOUS_REFERENCE): they rely
-#: on Spark 3.1's laxer self-join/alias resolution. Not a catalog gap
-#: — a user pasting these into any current Spark gets the same error.
-SKIP_SPARK = frozenset({"q14b", "q39a", "q39b", "q64"})
+#: Empty since round 10. Rounds 9's q14b/q39a/q39b/q64 skip was a
+#: MISDIAGNOSIS: the AMBIGUOUS_REFERENCE came from normalize_output's
+#: name-based cast select over these texts' DUPLICATE output columns
+#: (``select cs1.*, cs2.*``-style projections), not from Spark — the
+#: texts run fine on Spark 4 now that normalize_output casts under
+#: positional names (sqltext.py). All 103 files are runnable.
+SKIP_SPARK: frozenset[str] = frozenset()
 
 #: Mechanical oracle-side dialect patches (DuckDB text only; the Spark
 #: text stays byte-identical). Each entry is (regex, replacement) and

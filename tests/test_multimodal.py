@@ -177,9 +177,116 @@ def test_decode_pixels_native_and_gated():
     assert raster[0].tolist() == [[255, 0, 0], [0, 255, 0]]   # red, green
     assert raster[1].tolist() == [[0, 0, 255], [255, 255, 255]]  # blue, white
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_pixels(_png(4, 4))
+        decode_pixels(_gif(4, 4))
     with pytest.raises(NotImplementedError, match="codec"):
         decode_pixels(_jpeg(4, 4))
+
+
+def _encode_png(raster, color_type: int, filters, palette: bytes | None = None) -> bytes:
+    """Minimal PNG encoder for the decode tests: applies the requested
+    filter type per scanline (the forward transform of RFC 2083 §6),
+    deflates, and wraps proper CRC'd chunks."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h = len(raster)
+    arr = np.asarray(raster, dtype=np.uint8).reshape(h, -1)
+    stride = arr.shape[1]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    w = stride // nch
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b_, c):
+        p = a + b_ - c
+        pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+
+    out = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = [int(v) for v in arr[y]]
+        out.append(f)
+        for i in range(stride):
+            a = row[i - nch] if i >= nch else 0
+            up = prev[i]
+            ul = prev[i - nch] if i >= nch else 0
+            pred = {0: 0, 1: a, 2: up, 3: (a + up) >> 1, 4: paeth(a, up, ul)}[f]
+            out.append((row[i] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", palette)
+    return (
+        b"\x89PNG\r\n\x1a\n" + body
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_pixels_png_all_filters_and_color_types():
+    """PNG pixels decode codec-free (stdlib zlib + numpy unfilter):
+    every filter type (None/Sub/Up/Average/Paeth) and every 8-bit
+    color type round-trips a planted raster exactly."""
+    import numpy as np
+
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.RandomState(7)
+    # RGBA, one scanline per filter type (h=5 exercises all five)
+    rgba = rng.randint(0, 256, (5, 7, 4), dtype=np.uint8)
+    got = decode_pixels(_encode_png(rgba, 6, [0, 1, 2, 3, 4]))
+    assert got.shape == (5, 7, 4) and (got == rgba).all()
+    # grayscale with the left-recurrence filters
+    gray = rng.randint(0, 256, (4, 9), dtype=np.uint8)
+    got = decode_pixels(_encode_png(gray, 0, [1, 3, 4, 2]))
+    assert got.shape == (4, 9) and (got == gray).all()
+    # RGB and gray+alpha
+    rgb = rng.randint(0, 256, (3, 5, 3), dtype=np.uint8)
+    assert (decode_pixels(_encode_png(rgb, 2, [4, 1, 3])) == rgb).all()
+    la = rng.randint(0, 256, (2, 6, 2), dtype=np.uint8)
+    assert (decode_pixels(_encode_png(la, 4, [2, 1])) == la).all()
+    # palette image expands through PLTE to RGB
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = rng.randint(0, 16, (3, 4), dtype=np.uint8)
+    got = decode_pixels(_encode_png(idx, 3, [0, 1, 2], palette=pal))
+    expect = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]
+    assert got.shape == (3, 4, 3) and (got == expect).all()
+
+
+def test_decode_pixels_png_unsupported_shapes_fail_loud():
+    """16-bit and Adam7-interlaced PNGs raise NotImplementedError (not
+    a silently-wrong raster); truncated streams raise ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    base = _encode_png(np.zeros((2, 2), np.uint8), 0, [0])
+
+    def with_ihdr(depth: int, interlace: int) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+        chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+            ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        )
+        return base[:8] + chunk + base[8 + 25:]
+
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_pixels(with_ihdr(16, 0))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_pixels(with_ihdr(8, 1))
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_pixels(_png(4, 4))  # header-only stream, no IDAT
 
 
 def test_byte_features_chunked_matches_unchunked(docs):

@@ -6,8 +6,6 @@ exact non-numeric, 1e-6 tolerance on numerics.
 
 Documented divergences (each pinned below, not silently skipped):
 
-- SKIP_SPARK (q14b/q39a/q39b/q64): Spark 4 itself rejects the text
-  with AMBIGUOUS_REFERENCE — written for Spark 3.1's laxer resolution.
 - EMPTY_ROLLUP_DIVERGENT (q14a/q27/q36 verbatim): over an EMPTY
   filtered input, DuckDB emits the SQL-standard grand-total row of a
   ROLLUP while Spark emits none. The fitted variants (non-empty
@@ -77,7 +75,12 @@ def _compare(spark, duck, name: str, fitted: bool) -> int:
     s, d = _frames(spark, duck, name, fitted)
     assert len(s) == len(d), f"{name}: rows {len(s)} vs {len(d)}"
     assert len(s.columns) == len(d.columns)
+    # positional labels on BOTH sides: q14b/q64 project both sides of
+    # a self-join, so output names are duplicated and name-based
+    # pandas ops reject them
+    s = s.copy()
     d = d.copy()
+    s.columns = [f"c{i}" for i in range(len(s.columns))]
     d.columns = list(s.columns)
     for frame in (s, d):
         for c in frame.columns:

@@ -1,0 +1,139 @@
+"""The reference's TPC-DS v2.7.0 variant corpus (32 files) vs DuckDB
+(plans/sqltext_tpcds_v27.py): every runnable text executes verbatim on
+both engines over the same widened compatibility catalog. Same compare
+policy as tests/test_sqltext_tpcds_full.py: positional columns, exact
+non-numeric, 1e-6 tolerance on numerics.
+
+Documented divergences (each pinned below, not silently skipped):
+
+- TOL_OVERRIDE (q18a): the same q18-class divergence as the full
+  corpus — the text averages columns CAST to a LOWER decimal scale,
+  and on exact .005 boundaries Spark rounds HALF_UP while DuckDB
+  rounds HALF_EVEN, so group averages differ by up to 0.01.
+- q24/q51a run verbatim but are structurally EMPTY on this catalog
+  (s_zip=ca_zip is a near-disjoint equi-join; web cumulative sales
+  never exceed store cumulative) — both engines agree on empty, which
+  the verbatim sweep still asserts.
+- q49 has no fitted variant: its rank() orders by DECIMAL/DECIMAL
+  division ratios whose result scale differs between engines, so the
+  rank<=10 tie boundary selects different row sets once non-empty.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from gazelle_plugin_spark.catalog import ALL_TABLES, table_path
+from gazelle_plugin_spark.plans import sqltext_tpcds_v27 as fx
+
+from .conftest import SF_MED
+
+pytestmark = [
+    pytest.mark.skipif(
+        not fx.tpcds_v27_corpus_available(),
+        reason="reference TPC-DS v2.7.0 SQL corpus not present on this machine",
+    ),
+    pytest.mark.conformance,
+]
+
+#: Per-query tolerance overrides (see module docstring).
+TOL_OVERRIDE: dict[str, dict] = {"q18a": {"rtol": 1e-6, "atol": 0.011}}
+
+
+@pytest.fixture(scope="module")
+def dsduck():
+    """Module-private DuckDB session with Spark's null ordering (see
+    tests/test_sqltext_tpcds.py::dsduck)."""
+    con = duckdb.connect()
+    con.execute("SET default_null_order='nulls_first_on_asc_last_on_desc'")
+    for name in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{table_path(SF_MED, name)}')"
+        )
+    yield con
+    con.close()
+
+
+def _frames(spark, duck, name: str, fitted: bool):
+    s = fx.run_tpcds_v27(spark, SF_MED, name, fitted=fitted).toPandas()
+    d = duck.sql(fx.tpcds_v27_oracle_sql(name, fitted=fitted)).df()
+    return s, d
+
+
+def _compare(spark, duck, name: str, fitted: bool) -> int:
+    s, d = _frames(spark, duck, name, fitted)
+    assert len(s) == len(d), f"{name}: rows {len(s)} vs {len(d)}"
+    assert len(s.columns) == len(d.columns)
+    # positional labels on BOTH sides: q14/q64 project both sides of a
+    # self-join, so output names are duplicated and name-based pandas
+    # ops reject them
+    s = s.copy()
+    d = d.copy()
+    s.columns = [f"c{i}" for i in range(len(s.columns))]
+    d.columns = list(s.columns)
+    for frame in (s, d):
+        for c in frame.columns:
+            if pd.api.types.is_datetime64_any_dtype(frame[c]):
+                frame[c] = frame[c].astype("datetime64[us]")
+    key = list(s.columns)
+    s = s.sort_values(key, kind="mergesort").reset_index(drop=True)
+    d = d.sort_values(key, kind="mergesort").reset_index(drop=True)
+    tol = TOL_OVERRIDE.get(name, {"rtol": 1e-6, "atol": 1e-6})
+    for c in s.columns:
+        if pd.api.types.is_numeric_dtype(s[c]) and pd.api.types.is_numeric_dtype(d[c]):
+            a = s[c].astype(float).to_numpy()
+            b = d[c].astype(float).to_numpy()
+            both_nan = pd.isna(a) & pd.isna(b)
+            assert bool(
+                np.all(both_nan | np.isclose(a, b, **tol))
+            ), f"{name}: numeric column {c!r} differs"
+        else:
+            assert s[c].equals(d[c]), f"{name}: column {c!r} differs"
+    return len(s)
+
+
+_SWEEP = [n for n in fx.tpcds_v27_names() if n not in fx.SKIP_SPARK]
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_verbatim_tpcds_v27_text(spark, dsduck, name):
+    _compare(spark, dsduck, name, fitted=False)
+
+
+@pytest.mark.parametrize("name", sorted(fx.TPCDS_V27_FITTED_SUBS))
+def test_fitted_tpcds_v27_text(spark, dsduck, name):
+    rows = _compare(spark, dsduck, name, fitted=True)
+    assert rows > 0, f"{name}: fitted substitution is vacuous"
+
+
+def test_fitted_changes_only_literals():
+    def strip(t: str) -> list[str]:
+        return re.split(r"'[^']*'|\b\d+(?:\.\d+)?\b", t)
+
+    for name in sorted(fx.TPCDS_V27_FITTED_SUBS):
+        a = fx.load_text(fx.TPCDS_V27_FAMILY, name)
+        b = fx.fitted_v27_text(name)
+        assert strip(a) == strip(b), f"{name}: non-literal drift"
+
+
+def test_corpus_is_complete():
+    """All 32 vendored v2.7.0 files are swept — none skipped."""
+    names = fx.tpcds_v27_names()
+    assert len(names) == 32, names
+    assert set(_SWEEP) == set(names)
+    assert not fx.SKIP_SPARK
+
+
+def test_driver_tranche_is_registered_and_oracled():
+    from gazelle_plugin_spark.plans import ORACLE, QUERIES, load_all
+
+    load_all()
+    for name, _fitted in fx.DRIVER_TRANCHE:
+        q = f"dsv27_{name}"
+        assert q in QUERIES and q in ORACLE, q
