@@ -7,11 +7,12 @@ batches cross to Python once, vectorized inside). HEADER metadata
 (format, width, height, mode) parses natively for BMP, netpbm, PNG,
 JPEG, GIF, and WEBP — pure struct reads, no codec library — and is
 total (bad blobs yield None dims, never a mid-batch abort). PIXEL
-decode is native for the uncompressed formats (netpbm, 24/32-bit BMP)
-and raises a clearly-marked env-gated NotImplementedError for
-compressed formats (PNG/JPEG/GIF/WEBP) because the container ships no
-codec. The Spark-side contract (schemas, batching, partitioning) is
-real and tested (tests/test_multimodal.py).
+decode is native for netpbm, 24/32-bit BMP, and PNG (stdlib zlib +
+numpy unfilter — no codec library), and raises a clearly-marked
+env-gated NotImplementedError for JPEG/GIF/WEBP, whose entropy coding
+needs a codec the container does not ship. The Spark-side contract
+(schemas, batching, partitioning) is real and tested
+(tests/test_multimodal.py).
 
 Scale notes (100 TB of media): blobs should live in the lake as
 (metadata parquet + object-store URIs or inline binary <= a few MB);
@@ -236,7 +237,8 @@ def decode_header(b: bytes) -> tuple[str, int | None, int | None, str | None]:
     None dimensions) so one bad blob cannot abort a whole mapInPandas
     batch; non-image RIFF containers (WAV/AVI) and everything else
     return their format tag with None dimensions. Only PIXEL decode of
-    compressed formats is env-gated — see :func:`decode_pixels`."""
+    the entropy-coded formats (JPEG/GIF/WEBP) is env-gated — see
+    :func:`decode_pixels`."""
     import struct
 
     if b.startswith(b"\x89PNG\r\n\x1a\n"):
