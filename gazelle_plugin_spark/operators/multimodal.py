@@ -7,12 +7,12 @@ batches cross to Python once, vectorized inside). HEADER metadata
 (format, width, height, mode) parses natively for BMP, netpbm, PNG,
 JPEG, GIF, and WEBP — pure struct reads, no codec library — and is
 total (bad blobs yield None dims, never a mid-batch abort). PIXEL
-decode is native for netpbm, 24/32-bit BMP, and PNG (stdlib zlib +
-numpy unfilter — no codec library), and raises a clearly-marked
-env-gated NotImplementedError for JPEG/GIF/WEBP, whose entropy coding
-needs a codec the container does not ship. The Spark-side contract
-(schemas, batching, partitioning) is real and tested
-(tests/test_multimodal.py).
+decode is native for netpbm, 24/32-bit BMP, PNG (stdlib zlib + numpy
+unfilter), and GIF (pure-Python LZW) — no codec library anywhere —
+and raises a clearly-marked env-gated NotImplementedError for
+JPEG/WEBP, whose entropy coding needs a codec the container does not
+ship. The Spark-side contract (schemas, batching, partitioning) is
+real and tested (tests/test_multimodal.py).
 
 Scale notes (100 TB of media): blobs should live in the lake as
 (metadata parquet + object-store URIs or inline binary <= a few MB);
@@ -237,7 +237,7 @@ def decode_header(b: bytes) -> tuple[str, int | None, int | None, str | None]:
     None dimensions) so one bad blob cannot abort a whole mapInPandas
     batch; non-image RIFF containers (WAV/AVI) and everything else
     return their format tag with None dimensions. Only PIXEL decode of
-    the entropy-coded formats (JPEG/GIF/WEBP) is env-gated — see
+    the entropy-coded formats (JPEG/WEBP) is env-gated — see
     :func:`decode_pixels`."""
     import struct
 
@@ -360,13 +360,114 @@ def _png_pixels(b: bytes):
     return out.reshape((h, w, nch) if nch > 1 else (h, w))
 
 
+def _gif_pixels(b: bytes):
+    """Codec-free GIF first-frame pixel decode: pure-Python GIF-LZW
+    (variable-width codes with clear/EOI, GIF89a spec appendix F) +
+    palette expansion to RGB. Handles local/global color tables and
+    Adam-style 4-pass interlacing."""
+    import struct
+
+    import numpy as np
+
+    if not (b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 13):
+        raise ValueError("malformed GIF: bad signature")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h = struct.unpack_from("<HHHH", b, pos + 1)
+            iflags = b[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("malformed GIF: no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            # ---- GIF-LZW: codes grow from min_code+1 up to 12 bits
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            dict_init = [bytes([i]) for i in range(clear)] + [b"", b""]
+            table = list(dict_init)
+            width = min_code + 1
+            out = bytearray()
+            acc = nbits = 0
+            prev: bytes | None = None
+            for byte in data:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= width:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        table = list(dict_init)
+                        width = min_code + 1
+                        prev = None
+                        continue
+                    if code == eoi:
+                        nbits = 0
+                        break
+                    if code < len(table):
+                        entry = table[code]
+                    elif code == len(table) and prev is not None:
+                        entry = prev + prev[:1]
+                    else:
+                        raise ValueError("malformed GIF: bad LZW code")
+                    out += entry
+                    if prev is not None and len(table) < 4096:
+                        table.append(prev + entry[:1])
+                        if len(table) == (1 << width) and width < 12:
+                            width += 1
+                    prev = entry
+            idx = np.frombuffer(bytes(out[: w * h]), np.uint8)
+            if idx.size < w * h:
+                raise ValueError("malformed GIF: truncated pixel data")
+            idx = idx.reshape(h, w)
+            if iflags & 0x40:  # 4-pass interlace row order
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            p = np.frombuffer(pal, np.uint8)
+            p = p[: (len(p) // 3) * 3].reshape(-1, 3)
+            return p[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"malformed GIF: unknown block 0x{block:02x}")
+    raise ValueError("malformed GIF: no image descriptor")
+
+
 def decode_pixels(b: bytes):
     """Decode a blob to a raster numpy array. Codec-free formats decode
     natively: netpbm P5/P6 (raw grayscale / RGB), uncompressed 24/
-    32-bit BMP, and PNG (stdlib zlib + numpy unfilter — _png_pixels).
-    JPEG/GIF/WEBP require a codec library this environment does not
-    ship — the documented env-gated NotImplementedError lives HERE, at
-    the pixel grain, not in header metadata (decode_header is total)."""
+    32-bit BMP, PNG (stdlib zlib + numpy unfilter — _png_pixels), and
+    GIF (pure-Python LZW — _gif_pixels). JPEG/WEBP require a codec
+    library this environment does not ship — the documented env-gated
+    NotImplementedError lives HERE, at the pixel grain, not in header
+    metadata (decode_header is total)."""
     import struct
 
     import numpy as np
@@ -374,6 +475,8 @@ def decode_pixels(b: bytes):
     fmt, w, h, _mode = decode_header(b)
     if fmt == "PNG":
         return _png_pixels(b)
+    if fmt == "GIF":
+        return _gif_pixels(b)
     if fmt == "PPM" and w and h:
         # pixel data starts after the maxval token + one whitespace;
         # maxval > 255 means 2 bytes per sample, big-endian (netpbm spec)
@@ -416,9 +519,9 @@ def decode_pixels(b: bytes):
         )
     raise NotImplementedError(
         f"decode_pixels: {fmt} pixel decode needs a codec library (JPEG/"
-        "GIF/WEBP entropy coding); this environment ships none (header "
+        "WEBP entropy coding); this environment ships none (header "
         "metadata decodes natively for all formats — see decode_header; "
-        "PNG/BMP/netpbm pixels decode codec-free)"
+        "PNG/GIF/BMP/netpbm pixels decode codec-free)"
     )
 
 

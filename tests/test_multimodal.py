@@ -177,7 +177,7 @@ def test_decode_pixels_native_and_gated():
     assert raster[0].tolist() == [[255, 0, 0], [0, 255, 0]]   # red, green
     assert raster[1].tolist() == [[0, 0, 255], [255, 255, 255]]  # blue, white
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_pixels(_gif(4, 4))
+        decode_pixels(_webp_vp8l(4, 4))
     with pytest.raises(NotImplementedError, match="codec"):
         decode_pixels(_jpeg(4, 4))
 
@@ -260,6 +260,120 @@ def test_decode_pixels_png_all_filters_and_color_types():
     got = decode_pixels(_encode_png(idx, 3, [0, 1, 2], palette=pal))
     expect = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]
     assert got.shape == (3, 4, 3) and (got == expect).all()
+
+
+def test_decode_pixels_netpbm_16bit():
+    """P5/P6 with maxval > 255 decode as big-endian 2-byte samples per
+    the netpbm spec (previously misread as uint8 — round-9 advice)."""
+    import numpy as np
+
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    vals = [0, 300, 65535, 1234]
+    p5 = b"P5\n2 2\n65535\n" + b"".join(v.to_bytes(2, "big") for v in vals)
+    got = decode_pixels(p5)
+    assert got.dtype == np.uint16 and got.tolist() == [[0, 300], [65535, 1234]]
+    rgb = list(range(0, 1200, 100))  # 2x2x3 samples
+    p6 = b"P6\n2 2\n1023\n" + b"".join(v.to_bytes(2, "big") for v in rgb)
+    got = decode_pixels(p6)
+    assert got.shape == (2, 2, 3) and got.reshape(-1).tolist() == rgb
+
+
+def _gif_lzw_encode(indices, min_code: int) -> bytes:
+    """Reference GIF-LZW encoder for the decode tests (GIF89a appendix
+    F semantics: clear/EOI codes, LSB-first variable-width packing,
+    width grows when the next assignable code would overflow it)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    bits: list[tuple[int, int]] = [(clear, width)]
+    prev = b""
+    for px in indices:
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+            continue
+        bits.append((table[prev], width))
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        prev = bytes([px])
+    if prev:
+        bits.append((table[prev], width))
+    bits.append((eoi, width))
+    out = bytearray()
+    acc = nbits = 0
+    for code, w in bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(idx, palette: bytes, min_code: int = 2, interlace: bool = False) -> bytes:
+    """Minimal single-frame GIF encoder (global color table) for the
+    decode tests."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(idx, dtype=np.uint8)
+    h, w = arr.shape
+    n = max(2, (len(palette) // 3))
+    # color table size field: smallest k with 2^(k+1) >= n
+    k = max(0, (n - 1).bit_length() - 1)
+    table = palette + b"\x00" * (3 * ((2 << k) - len(palette) // 3))
+    rows = arr
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = arr[order]
+    lzw = _gif_lzw_encode(rows.reshape(-1).tolist(), min_code)
+    sub = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | k, 0, 0) + table
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0])
+        + bytes([min_code]) + sub + b"\x00" + b"\x3b"
+    )
+
+
+def test_decode_pixels_gif_lzw():
+    """GIF pixels decode codec-free (pure-Python LZW): repetitive data
+    (dictionary growth + width growth + KwKwK patterns), random data,
+    and 4-pass interlacing all round-trip through the palette."""
+    import numpy as np
+
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    pal = bytes(range(12))  # 4 RGB entries
+    # repetitive pattern: exercises dictionary hits and code-width growth
+    idx = np.tile(np.array([[0, 0, 1, 1], [2, 2, 3, 3]], np.uint8), (4, 3))
+    got = decode_pixels(_encode_gif(idx, pal, min_code=2))
+    expect = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]
+    assert got.shape == (8, 12, 3) and (got == expect).all()
+    # random indices over a 16-color palette
+    rng = np.random.RandomState(11)
+    pal16 = bytes(rng.randint(0, 256, 48, dtype=np.uint8))
+    idx = rng.randint(0, 16, (9, 7), dtype=np.uint8)
+    got = decode_pixels(_encode_gif(idx, pal16, min_code=4))
+    assert (got == np.frombuffer(pal16, np.uint8).reshape(-1, 3)[idx]).all()
+    # interlaced variant restores scanline order
+    got = decode_pixels(_encode_gif(idx, pal16, min_code=4, interlace=True))
+    assert (got == np.frombuffer(pal16, np.uint8).reshape(-1, 3)[idx]).all()
 
 
 def test_decode_pixels_png_unsupported_shapes_fail_loud():
