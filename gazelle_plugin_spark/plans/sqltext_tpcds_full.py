@@ -94,10 +94,19 @@ ORACLE_PATCHES: dict[str, list[tuple[str, str]]] = {
     # text uses it as a column alias / reference.
     "q77": [(r"\breturns\b", '"returns"')],
     # Dialect DEFAULT null ordering: Spark sorts NULLS FIRST asc,
-    # DuckDB NULLS LAST — q5's ROLLUP emits NULL channel/id rows that
+    # DuckDB NULLS LAST — these ROLLUPs emit NULL grouping rows that
     # straddle the LIMIT 100 boundary, so the oracle must pin Spark's
     # default (value-preserving: same rows, same order semantics).
     "q5": [(r"ORDER BY channel, id", "ORDER BY channel NULLS FIRST, id NULLS FIRST")],
+    "q80": [(r"ORDER BY channel, id", "ORDER BY channel NULLS FIRST, id NULLS FIRST")],
+    "q67": [(
+        r"ORDER BY\s+i_category, i_class, i_brand, i_product_name, d_year,"
+        r"\s+d_qoy, d_moy, s_store_id, sumsales, rk",
+        "ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, "
+        "i_brand NULLS FIRST, i_product_name NULLS FIRST, "
+        "d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST, "
+        "s_store_id NULLS FIRST, sumsales NULLS FIRST, rk NULLS FIRST",
+    )],
 }
 
 
@@ -139,6 +148,17 @@ TPCDS_FULL_FITTED_SUBS: dict[str, dict[str, str]] = {
     # (i_current_price ~900..2100, i_manufact_id 1..5)
     "q37": {"68": "968", "677": "1", "940": "2", "694": "3", "808": "4"},
     "q82": {"62": "962", "129": "1", "270": "2", "821": "3", "423": "4"},
+    # round-10 additions: store city/county names and the manufact id
+    # to the synthesized domains (maps mirror the tpcds-modifiedQueries
+    # fitted sets where the same parameter appears)
+    "q3": {"128": "3"},
+    "q34": {"'Williamson County'": "'County_1'", "15": "2", "20": "4"},
+    "q46": {"'Fairview'": "'City_1'", "'Midway'": "'City_0'"},
+    "q68": {"'Midway'": "'City_0'", "'Fairview'": "'City_1'"},
+    # q73 subs ONLY the county names: its cnt band (1..5) shares bare
+    # digits with the d_dom filter, so numeric subs would corrupt both
+    "q73": {"'Williamson County'": "'County_0'", "'Franklin Parish'": "'County_1'",
+            "'Bronx County'": "'County_2'", "'Orange County'": "'County_0'"},
 }
 
 
@@ -203,6 +223,25 @@ ORACLE_OUT_CASTS: dict[str, list[tuple[str, str | None]]] = {
         ("store_only", "BIGINT"),
         ("catalog_only", "BIGINT"),
         ("store_and_catalog", "BIGINT"),
+    ],
+    "q67": [
+        ("i_category", None),
+        ("i_class", None),
+        ("i_brand", None),
+        ("i_product_name", None),
+        ("d_year", None),
+        ("d_qoy", None),
+        ("d_moy", None),
+        ("s_store_id", None),
+        ("sumsales", None),
+        ("rk", "INTEGER"),
+    ],
+    "q70": [
+        ("total_sum", None),
+        ("s_state", None),
+        ("s_county", None),
+        ("lochierarchy", "TINYINT"),
+        ("rank_within_parent", "INTEGER"),
     ],
     "q99": [
         ("substr(w_warehouse_name, 1, 20)", None),
@@ -340,6 +379,28 @@ DRIVER_TRANCHE: tuple[tuple[str, bool], ...] = (
     ("q93", False),
     ("q97", False),
     ("q99", False),
+    # round-10 additions (rotation stock): value-safe outputs (exact
+    # decimal sums / counts / attributes / rank), each verified
+    # hash-exact against a PLAIN DuckDB session (= the driver's null
+    # ordering) this round. q67/q80 needed only the q5-class NULLS
+    # FIRST oracle pin; q3/q34/q46/q68/q73 run fitted into the
+    # synthesized store-city/county/manufact domains.
+    ("q42", False),
+    ("q43", False),
+    ("q52", False),
+    ("q55", False),
+    ("q65", False),
+    ("q67", False),
+    ("q70", False),
+    ("q77", False),
+    ("q79", False),
+    ("q80", False),
+    ("q92", False),
+    ("q3", True),
+    ("q34", True),
+    ("q46", True),
+    ("q68", True),
+    ("q73", True),
 )
 
 

@@ -57,6 +57,10 @@ BNLJ_ALLOWED = {
     # joined into one result row — every BNLJ side is a 1-row
     # aggregate by construction (the reference runs the same shape)
     "tpcdsfull_q88",
+    # TPC-DS q77 TEXT: the catalog channel is `FROM cs, cr` where cr
+    # is an UNGROUPED global aggregate over catalog_returns — a 1-row
+    # broadcast side by construction (reference tpcds/q77.sql:86)
+    "tpcdsfull_q77",
 }
 
 
