@@ -460,14 +460,288 @@ def _gif_pixels(b: bytes):
     raise ValueError("malformed GIF: no image descriptor")
 
 
+#: JPEG zigzag scan order: stream position k -> natural block index.
+_JPEG_ZZ = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table: (code_length, code) -> symbol
+    (ITU T.81 Annex C code assignment)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_pixels(b: bytes):
+    """Codec-free baseline JPEG pixel decode (ITU T.81 sequential DCT,
+    SOF0/SOF1 Huffman): marker walk collects DQT/DHT/SOF/DRI, the SOS
+    scan is un-stuffed (0xFF00) and split at RSTn restarts, a
+    pure-Python canonical-Huffman bit reader entropy-decodes each MCU,
+    and numpy does dequantization, de-zigzag, the separable 8x8 IDCT,
+    pixel-replication chroma upsampling, and JFIF YCbCr->RGB.
+
+    Progressive (SOF2) and arithmetic-coded frames raise
+    NotImplementedError — their coefficient scheduling is a different
+    decoder, honestly gated. Per-bit Python Huffman is a correctness
+    path for test-scale blobs, not a production codec; the Spark-side
+    plumbing (schema, batching, partitioning) is what production
+    swaps a native codec into."""
+    import struct
+
+    import numpy as np
+
+    qt: dict[int, np.ndarray] = {}  # id -> 64 dequant factors, zigzag order
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    frame = None  # (h, w, [(comp_id, hi, vi, qt_id), ...])
+    dri = 0
+    i, n = 2, len(b)
+    while i + 3 < n:
+        if b[i] != 0xFF:
+            raise ValueError("malformed JPEG: desynced marker stream")
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in _JPEG_STANDALONE:
+            i += 2
+            continue
+        seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seglen < 2:
+            raise ValueError("malformed JPEG: bad segment length")
+        seg = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 15
+                width = 2 if prec else 1
+                vals = seg[j + 1 : j + 1 + 64 * width]
+                dt = np.dtype(">u2") if prec else np.uint8
+                qt[tid] = np.frombuffer(vals, dt).astype(np.float64)
+                j += 1 + 64 * width
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1 : j + 17]
+                nsym = sum(counts)
+                huff[(cls, tid)] = _jpeg_huff_table(
+                    counts, seg[j + 17 : j + 17 + nsym]
+                )
+                j += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline + extended seq
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                for c in range(ncomp)
+            ]
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7) or 0xC9 <= marker <= 0xCF:
+            raise NotImplementedError(
+                "decode_pixels: only baseline/extended-sequential Huffman "
+                f"JPEG decodes codec-free (SOF marker 0x{marker:02x} — "
+                "progressive/lossless/arithmetic JPEG needs a codec "
+                "library; this environment ships none)"
+            )
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded scan follows
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("malformed JPEG: truncated SOS header")
+            scomps = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(seg[0])
+            ]
+            if len(scomps) != len(frame[2]):
+                raise NotImplementedError(
+                    "decode_pixels: non-interleaved multi-scan JPEG is "
+                    "not supported codec-free"
+                )
+            return _jpeg_scan(b, i + 2 + seglen, frame, scomps, qt, huff, dri)
+        i += 2 + seglen
+    raise ValueError("malformed JPEG: no SOS scan")
+
+
+def _jpeg_scan(b, start, frame, scomps, qt, huff, dri):
+    """Entropy-decode the single interleaved baseline scan starting at
+    byte offset ``start`` and reconstruct the raster (see
+    :func:`_jpeg_pixels`)."""
+    import numpy as np
+
+    h, w, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"decode_pixels: {len(comps)}-component JPEG (CMYK/unknown) "
+            "is not supported codec-free"
+        )
+
+    # -- un-stuff the scan and split at restart markers ----------------
+    segments, cur, i, n = [], bytearray(), start, len(b)
+    while i < n:
+        c = b[i]
+        if c != 0xFF:
+            cur.append(c)
+            i += 1
+            continue
+        m = b[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:  # stuffed literal 0xFF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: restart interval boundary
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or any other marker terminates the scan
+            break
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(c[1] < 1 or c[2] < 1 for c in comps):
+        raise ValueError("malformed JPEG: zero sampling factor")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component plane buffers at full MCU-padded resolution
+    planes = [
+        np.zeros((mcuy * v * 8, mcux * hh * 8), np.float64)
+        for (_cid, hh, v, _q) in comps
+    ]
+    # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); f = A.T F A
+    u = np.arange(8)
+    A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0] /= np.sqrt(2.0)
+    zz = np.array(_JPEG_ZZ)
+
+    # resolve each frame component's tables once
+    tabs = []
+    for cid, hh, v, qid in comps:
+        sel = next((s for s in scomps if s[0] == cid), None)
+        if sel is None or qid not in qt:
+            raise ValueError("malformed JPEG: component/table mismatch")
+        dc = huff.get((0, sel[1]))
+        ac = huff.get((1, sel[2]))
+        if dc is None or ac is None:
+            raise ValueError("malformed JPEG: missing Huffman table")
+        tabs.append((dc, ac, qt[qid]))
+
+    total_mcus = mcux * mcuy
+    per_seg = dri if dri else total_mcus
+    mcu = 0
+    for seg in segments:
+        if mcu >= total_mcus:
+            break
+        pred = [0] * len(comps)  # DC predictors reset at each restart
+        pos, nbits = 0, len(seg) * 8
+
+        def bit():
+            nonlocal pos
+            if pos >= nbits:
+                raise ValueError("malformed JPEG: truncated scan")
+            byte = seg[pos >> 3]
+            v = (byte >> (7 - (pos & 7))) & 1
+            pos += 1
+            return v
+
+        def receive(s):
+            v = 0
+            for _ in range(s):
+                v = (v << 1) | bit()
+            return v
+
+        def extend(v, s):
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        def huffdec(tbl):
+            code = 0
+            for ln in range(1, 17):
+                code = (code << 1) | bit()
+                sym = tbl.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("malformed JPEG: invalid Huffman code")
+
+        for _ in range(min(per_seg, total_mcus - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, (_cid, hh, v, _qid) in enumerate(comps):
+                dc_tbl, ac_tbl, q = tabs[ci]
+                for by in range(v):
+                    for bx in range(hh):
+                        if pos >= nbits:
+                            raise ValueError("malformed JPEG: truncated scan")
+                        vec = np.zeros(64, np.float64)
+                        s = huffdec(dc_tbl)
+                        diff = extend(receive(s), s) if s else 0
+                        pred[ci] += diff
+                        vec[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = huffdec(ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("malformed JPEG: AC overrun")
+                            vec[k] = extend(receive(s), s)
+                            k += 1
+                        nat = np.zeros(64, np.float64)
+                        nat[zz] = vec * q
+                        blk = A.T @ nat.reshape(8, 8) @ A + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * hh + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu += 1
+    if mcu < total_mcus:
+        raise ValueError("malformed JPEG: truncated scan")
+
+    # -- upsample to full resolution, crop, color-convert ---------------
+    full = []
+    for ci, (_cid, hh, v, _qid) in enumerate(comps):
+        p = planes[ci]
+        if hh < hmax:
+            p = np.repeat(p, hmax // hh, axis=1)
+        if v < vmax:
+            p = np.repeat(p, vmax // v, axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_pixels(b: bytes):
     """Decode a blob to a raster numpy array. Codec-free formats decode
     natively: netpbm P5/P6 (raw grayscale / RGB), uncompressed 24/
-    32-bit BMP, PNG (stdlib zlib + numpy unfilter — _png_pixels), and
-    GIF (pure-Python LZW — _gif_pixels). JPEG/WEBP require a codec
-    library this environment does not ship — the documented env-gated
-    NotImplementedError lives HERE, at the pixel grain, not in header
-    metadata (decode_header is total)."""
+    32-bit BMP, PNG (stdlib zlib + numpy unfilter — _png_pixels), GIF
+    (pure-Python LZW — _gif_pixels), and baseline-Huffman JPEG
+    (pure-Python entropy decode + numpy IDCT — _jpeg_pixels).
+    Progressive JPEG and WEBP require a codec library this environment
+    does not ship — the documented env-gated NotImplementedError lives
+    HERE, at the pixel grain, not in header metadata (decode_header is
+    total)."""
     import struct
 
     import numpy as np
@@ -477,6 +751,8 @@ def decode_pixels(b: bytes):
         return _png_pixels(b)
     if fmt == "GIF":
         return _gif_pixels(b)
+    if fmt == "JPEG":
+        return _jpeg_pixels(b)
     if fmt == "PPM" and w and h:
         # pixel data starts after the maxval token + one whitespace;
         # maxval > 255 means 2 bytes per sample, big-endian (netpbm spec)
@@ -518,10 +794,10 @@ def decode_pixels(b: bytes):
             "needs a codec library; this environment ships none"
         )
     raise NotImplementedError(
-        f"decode_pixels: {fmt} pixel decode needs a codec library (JPEG/"
-        "WEBP entropy coding); this environment ships none (header "
+        f"decode_pixels: {fmt} pixel decode needs a codec library (WEBP "
+        "VP8/VP8L entropy coding); this environment ships none (header "
         "metadata decodes natively for all formats — see decode_header; "
-        "PNG/GIF/BMP/netpbm pixels decode codec-free)"
+        "PNG/GIF/BMP/netpbm and baseline JPEG pixels decode codec-free)"
     )
 
 

@@ -178,7 +178,12 @@ def test_decode_pixels_native_and_gated():
     assert raster[1].tolist() == [[0, 0, 255], [255, 255, 255]]  # blue, white
     with pytest.raises(NotImplementedError, match="codec"):
         decode_pixels(_webp_vp8l(4, 4))
+    # progressive JPEG (SOF2) keeps the honest codec gate; the old
+    # header-only baseline stub is now MALFORMED (it has no tables/
+    # scan), not gated — fail-loud, never a silently-wrong raster
     with pytest.raises(NotImplementedError, match="codec"):
+        decode_pixels(_jpeg(4, 4).replace(b"\xff\xc0", b"\xff\xc2"))
+    with pytest.raises(ValueError, match="malformed JPEG"):
         decode_pixels(_jpeg(4, 4))
 
 
@@ -401,6 +406,197 @@ def test_decode_pixels_png_unsupported_shapes_fail_loud():
         decode_pixels(with_ihdr(8, 1))
     with pytest.raises(ValueError, match="malformed PNG"):
         decode_pixels(_png(4, 4))  # header-only stream, no IDAT
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG: minimal test-side encoder (quality-0 style: all-ones
+# quant scaled by qscale, fixed-length canonical Huffman tables — DC
+# 12 symbols @ 4 bits, AC 162 symbols @ 8 bits) + decoder round trips
+# ---------------------------------------------------------------------------
+
+#: AC symbols in canonical order; code == index, all 8 bits long.
+_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_AC_CODE = {sym: i for i, sym in enumerate(_AC_SYMS)}
+
+
+def _jpeg_dct_basis():
+    u = np.arange(8)
+    A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0] /= np.sqrt(2.0)
+    return A
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf, self.acc, self.nb = bytearray(), 0, 0
+
+    def put(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.nb += 1
+            if self.nb == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte-stuff per T.81 B.1.1.5
+                    self.buf.append(0x00)
+                self.acc, self.nb = 0, 0
+
+    def flush(self) -> None:  # pad the last byte with 1-bits
+        while self.nb:
+            self.put(1, 1)
+
+
+def _encode_jpeg(y, cb=None, cr=None, sampling=(1, 1), dri=0, qscale=1):
+    """Minimal baseline-JPEG encoder (test oracle for _jpeg_pixels):
+    luma sampling = ``sampling``, chroma always 1x1; full-size cb/cr
+    planes are subsampled by top-left pick (exact when the caller keeps
+    chroma constant per sampling window)."""
+    import struct
+
+    from gazelle_plugin_spark.operators.multimodal import _JPEG_ZZ
+
+    A = _jpeg_dct_basis()
+    zz = list(_JPEG_ZZ)
+    h, w = y.shape
+    hy, vy = sampling
+    mcux, mcuy = -(-w // (8 * hy)), -(-h // (8 * vy))
+
+    def pad(plane, bh, bw):
+        return np.pad(
+            plane.astype(np.float64),
+            ((0, bh * 8 - plane.shape[0]), (0, bw * 8 - plane.shape[1])),
+            mode="edge",
+        )
+
+    comps = [(1, hy, vy, pad(y, mcuy * vy, mcux * hy))]
+    if cb is not None:
+        comps.append((2, 1, 1, pad(cb[::vy, ::hy], mcuy, mcux)))
+        comps.append((3, 1, 1, pad(cr[::vy, ::hy], mcuy, mcux)))
+
+    bw_ = _BitWriter()
+    pred = [0] * len(comps)
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if dri and mcu and mcu % dri == 0:
+            bw_.flush()
+            bw_.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, (_cid, hs, vs, plane) in enumerate(comps):
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = plane[
+                        (my * vs + by) * 8 : (my * vs + by) * 8 + 8,
+                        (mx * hs + bx) * 8 : (mx * hs + bx) * 8 + 8,
+                    ]
+                    F_ = np.rint(np.rint(A @ (blk - 128.0) @ A.T) / qscale)
+                    vec = F_.reshape(-1)[zz].astype(int)
+                    diff = int(vec[0]) - pred[ci]
+                    pred[ci] = int(vec[0])
+                    s = abs(diff).bit_length()
+                    bw_.put(s, 4)  # DC code == symbol == size
+                    if s:
+                        bw_.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(vec[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            bw_.put(_AC_CODE[0xF0], 8)
+                            run -= 16
+                        s2 = abs(v).bit_length()
+                        bw_.put(_AC_CODE[(run << 4) | s2], 8)
+                        bw_.put(v if v >= 0 else v + (1 << s2) - 1, s2)
+                        run = 0
+                    if run:
+                        bw_.put(_AC_CODE[0x00], 8)
+    bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    ac_counts = bytes([0] * 7 + [162] + [0] * 8)
+    dht = (
+        b"\x00" + dc_counts + bytes(range(12))
+        + b"\x10" + ac_counts + bytes(_AC_SYMS)
+    )
+    sof = b"\x08" + struct.pack(">HH", h, w) + bytes([len(comps)])
+    sos = bytes([len(comps)])
+    for cid, hs, vs, _plane in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"  # Ss / Se / AhAl (baseline fixed)
+    out = b"\xff\xd8" + seg(0xDB, b"\x00" + bytes([qscale] * 64)) + seg(0xC4, dht)
+    out += seg(0xC0, sof)
+    if dri:
+        out += seg(0xDD, dri.to_bytes(2, "big"))
+    out += seg(0xDA, sos) + bytes(bw_.buf) + b"\xff\xd9"
+    return out
+
+
+def test_decode_pixels_jpeg_grayscale_roundtrip():
+    """Constant DC-only block decodes EXACTLY (incl. a non-1 quant
+    scale); random gray with unit quant round-trips within DCT
+    rounding error; odd dimensions crop the MCU padding."""
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    flat = np.full((8, 8), 130, np.uint8)
+    assert (decode_pixels(_encode_jpeg(flat)) == flat).all()
+    assert (decode_pixels(_encode_jpeg(flat, qscale=4)) == flat).all()
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (24, 17), dtype=np.uint8)
+    got = decode_pixels(_encode_jpeg(gray))
+    assert got.shape == (24, 17)
+    assert np.abs(got.astype(int) - gray.astype(int)).max() <= 2
+
+
+def test_decode_pixels_jpeg_color_sampling_and_restarts():
+    """3-component YCbCr decodes through 4:4:4, 4:2:2 and 4:2:0
+    sampling (constant chroma -> replication upsample is exact) and
+    restart markers (DRI=1) reproduce the no-restart raster bit-for-
+    bit."""
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.RandomState(11)
+    h, w = 18, 21  # non-multiple of every MCU size
+    y = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    cb = np.full((h, w), 90, np.uint8)
+    cr = np.full((h, w), 170, np.uint8)
+
+    yf = y.astype(float)
+    exp = np.stack(
+        [
+            yf + 1.402 * (170 - 128.0),
+            yf - 0.344136 * (90 - 128.0) - 0.714136 * (170 - 128.0),
+            yf + 1.772 * (90 - 128.0),
+        ],
+        axis=-1,
+    )
+    exp = np.clip(np.round(exp), 0, 255)
+
+    for sampling in [(1, 1), (2, 1), (2, 2)]:
+        got = decode_pixels(_encode_jpeg(y, cb, cr, sampling=sampling))
+        assert got.shape == (h, w, 3), sampling
+        assert np.abs(got.astype(float) - exp).max() <= 4, sampling
+
+    plain = decode_pixels(_encode_jpeg(y, cb, cr, sampling=(2, 2)))
+    restarts = decode_pixels(_encode_jpeg(y, cb, cr, sampling=(2, 2), dri=1))
+    assert (plain == restarts).all()
+
+
+def test_decode_pixels_jpeg_truncated_fails_loud():
+    """A scan cut mid-MCU raises ValueError, never returns a partial
+    raster."""
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.RandomState(3)
+    blob = _encode_jpeg(rng.randint(0, 256, (16, 16), dtype=np.uint8))
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        decode_pixels(blob[: len(blob) - 40])
 
 
 def test_byte_features_chunked_matches_unchunked(docs):
