@@ -487,19 +487,25 @@ def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
 
 
 def _jpeg_pixels(b: bytes):
-    """Codec-free baseline JPEG pixel decode (ITU T.81 sequential DCT,
-    SOF0/SOF1 Huffman): marker walk collects DQT/DHT/SOF/DRI, the SOS
-    scan is un-stuffed (0xFF00) and split at RSTn restarts, a
-    pure-Python canonical-Huffman bit reader entropy-decodes each MCU,
-    and numpy does dequantization, de-zigzag, the separable 8x8 IDCT,
-    pixel-replication chroma upsampling, and JFIF YCbCr->RGB.
+    """Codec-free JPEG pixel decode (ITU T.81 DCT-based, Huffman
+    entropy coding): the marker walk collects DQT/DHT/SOF/DRI, every
+    SOS scan is un-stuffed (0xFF00), split at RSTn restarts, and
+    entropy-decoded by a pure-Python canonical-Huffman bit reader into
+    per-component COEFFICIENT stores (so sequential single-scan,
+    sequential multi-scan, and progressive multi-scan frames all share
+    one path), then numpy does dequantization, de-zigzag, a
+    block-vectorized separable 8x8 IDCT, pixel-replication chroma
+    upsampling, and JFIF YCbCr->RGB.
 
-    Progressive (SOF2) and arithmetic-coded frames raise
-    NotImplementedError — their coefficient scheduling is a different
-    decoder, honestly gated. Per-bit Python Huffman is a correctness
-    path for test-scale blobs, not a production codec; the Spark-side
-    plumbing (schema, batching, partitioning) is what production
-    swaps a native codec into."""
+    Supported frames: baseline (SOF0), extended sequential Huffman
+    (SOF1), and progressive Huffman (SOF2) — including spectral
+    selection, successive approximation (DC and AC first/refinement
+    passes, EOBn band runs), and restart intervals. Lossless,
+    hierarchical, and arithmetic-coded frames raise
+    NotImplementedError (a different coder, honestly gated). Per-bit
+    Python Huffman is a correctness path for test-scale blobs, not a
+    production codec; the Spark-side plumbing (schema, batching,
+    partitioning) is what production swaps a native codec into."""
     import struct
 
     import numpy as np
@@ -507,7 +513,9 @@ def _jpeg_pixels(b: bytes):
     qt: dict[int, np.ndarray] = {}  # id -> 64 dequant factors, zigzag order
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None  # (h, w, [(comp_id, hi, vi, qt_id), ...])
+    coefs: list | None = None  # per-component (blocks_y, blocks_x, 64) int32
     dri = 0
+    nscans = 0
     i, n = 2, len(b)
     while i + 3 < n:
         if b[i] != 0xFF:
@@ -516,6 +524,8 @@ def _jpeg_pixels(b: bytes):
         if marker == 0xFF:  # fill byte
             i += 1
             continue
+        if marker == 0xD9:  # EOI
+            break
         if marker in _JPEG_STANDALONE:
             i += 2
             continue
@@ -542,19 +552,38 @@ def _jpeg_pixels(b: bytes):
                     counts, seg[j + 17 : j + 17 + nsym]
                 )
                 j += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline + extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             h, w = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             comps = [
                 (seg[6 + 3 * c], seg[7 + 3 * c] >> 4, seg[7 + 3 * c] & 15, seg[8 + 3 * c])
                 for c in range(ncomp)
             ]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"decode_pixels: {ncomp}-component JPEG (CMYK/unknown) "
+                    "is not supported codec-free"
+                )
+            if any(c[1] < 1 or c[2] < 1 for c in comps):
+                raise ValueError("malformed JPEG: zero sampling factor")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % c[1] or vmax % c[2] for c in comps):
+                raise NotImplementedError(
+                    "decode_pixels: non-integer chroma sampling ratio is "
+                    "not supported codec-free"
+                )
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7) or 0xC9 <= marker <= 0xCF:
+            coefs = [
+                np.zeros((mcuy * v, mcux * hh, 64), np.int32)
+                for (_cid, hh, v, _q) in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7) or 0xC9 <= marker <= 0xCF:
             raise NotImplementedError(
-                "decode_pixels: only baseline/extended-sequential Huffman "
-                f"JPEG decodes codec-free (SOF marker 0x{marker:02x} — "
-                "progressive/lossless/arithmetic JPEG needs a codec "
+                "decode_pixels: only Huffman sequential/progressive JPEG "
+                f"decodes codec-free (SOF marker 0x{marker:02x} — "
+                "lossless/hierarchical/arithmetic JPEG needs a codec "
                 "library; this environment ships none)"
             )
         elif marker == 0xDD:  # DRI
@@ -562,34 +591,34 @@ def _jpeg_pixels(b: bytes):
         elif marker == 0xDA:  # SOS — entropy-coded scan follows
             if frame is None:
                 raise ValueError("malformed JPEG: SOS before SOF")
-            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+            if len(seg) < 4 + 2 * seg[0] or seg[0] < 1:
                 raise ValueError("malformed JPEG: truncated SOS header")
+            nsc = seg[0]
             scomps = [
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                for c in range(seg[0])
+                for c in range(nsc)
             ]
-            if len(scomps) != len(frame[2]):
-                raise NotImplementedError(
-                    "decode_pixels: non-interleaved multi-scan JPEG is "
-                    "not supported codec-free"
-                )
-            return _jpeg_scan(b, i + 2 + seglen, frame, scomps, qt, huff, dri)
+            ss, se = seg[1 + 2 * nsc], seg[2 + 2 * nsc]
+            ah, al = seg[3 + 2 * nsc] >> 4, seg[3 + 2 * nsc] & 15
+            i = _jpeg_decode_scan(
+                b, i + 2 + seglen, frame, coefs, huff, scomps, ss, se, ah, al, dri
+            )
+            nscans += 1
+            continue
         i += 2 + seglen
-    raise ValueError("malformed JPEG: no SOS scan")
+    if frame is None or nscans == 0:
+        raise ValueError("malformed JPEG: no SOS scan")
+    return _jpeg_reconstruct(frame, coefs, qt)
 
 
-def _jpeg_scan(b, start, frame, scomps, qt, huff, dri):
-    """Entropy-decode the single interleaved baseline scan starting at
-    byte offset ``start`` and reconstruct the raster (see
-    :func:`_jpeg_pixels`)."""
-    import numpy as np
-
+def _jpeg_decode_scan(b, start, frame, coefs, huff, scomps, ss, se, ah, al, dri):
+    """Entropy-decode ONE scan (sequential full-band or progressive
+    spectral/successive-approximation pass) into the per-component
+    coefficient stores; returns the byte offset of the marker that
+    terminated the scan (see :func:`_jpeg_pixels`)."""
     h, w, comps = frame
-    if len(comps) not in (1, 3):
-        raise NotImplementedError(
-            f"decode_pixels: {len(comps)}-component JPEG (CMYK/unknown) "
-            "is not supported codec-free"
-        )
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("malformed JPEG: bad spectral band")
 
     # -- un-stuff the scan and split at restart markers ----------------
     segments, cur, i, n = [], bytearray(), start, len(b)
@@ -610,43 +639,48 @@ def _jpeg_scan(b, start, frame, scomps, qt, huff, dri):
         else:  # EOI or any other marker terminates the scan
             break
     segments.append(bytes(cur))
+    end = i
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or any(c[1] < 1 or c[2] < 1 for c in comps):
-        raise ValueError("malformed JPEG: zero sampling factor")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # per-component plane buffers at full MCU-padded resolution
-    planes = [
-        np.zeros((mcuy * v * 8, mcux * hh * 8), np.float64)
-        for (_cid, hh, v, _q) in comps
-    ]
-    # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); f = A.T F A
-    u = np.arange(8)
-    A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
-    A[0] /= np.sqrt(2.0)
-    zz = np.array(_JPEG_ZZ)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
-    # resolve each frame component's tables once
-    tabs = []
-    for cid, hh, v, qid in comps:
-        sel = next((s for s in scomps if s[0] == cid), None)
-        if sel is None or qid not in qt:
-            raise ValueError("malformed JPEG: component/table mismatch")
-        dc = huff.get((0, sel[1]))
-        ac = huff.get((1, sel[2]))
-        if dc is None or ac is None:
-            raise ValueError("malformed JPEG: missing Huffman table")
-        tabs.append((dc, ac, qt[qid]))
+    # resolve scan components against the frame; tables are required
+    # only for the passes that consume them (refinement DC needs none)
+    sel = []
+    for cid, dcid, acid in scomps:
+        ci = next((j for j, c in enumerate(comps) if c[0] == cid), None)
+        if ci is None:
+            raise ValueError("malformed JPEG: scan names unknown component")
+        dc = huff.get((0, dcid))
+        ac = huff.get((1, acid))
+        if ss == 0 and ah == 0 and dc is None:
+            raise ValueError("malformed JPEG: missing DC Huffman table")
+        if se >= 1 and ac is None:
+            raise ValueError("malformed JPEG: missing AC Huffman table")
+        sel.append((ci, dc, ac))
 
-    total_mcus = mcux * mcuy
-    per_seg = dri if dri else total_mcus
-    mcu = 0
+    interleaved = len(sel) > 1
+    if ss > 0 and interleaved:
+        raise ValueError("malformed JPEG: multi-component AC scan")
+    if interleaved:
+        total_units = mcux * mcuy
+    else:
+        # non-interleaved scans walk the component's OWN ceil-block
+        # grid (T.81 A.2.2), not the MCU-padded grid
+        ci0 = sel[0][0]
+        _cid, hh, v, _q = comps[ci0]
+        cw, ch = -(-(w * hh) // hmax), -(-(h * v) // vmax)
+        cbx, cby = -(-cw // 8), -(-ch // 8)
+        total_units = cbx * cby
+
+    per_seg = dri if dri else total_units
+    unit = 0
     for seg in segments:
-        if mcu >= total_mcus:
+        if unit >= total_units:
             break
-        pred = [0] * len(comps)  # DC predictors reset at each restart
+        preds = [0] * len(sel)  # DC predictors reset at each restart
+        eobrun = 0
         pos, nbits = 0, len(seg) * 8
 
         def bit():
@@ -676,52 +710,133 @@ def _jpeg_scan(b, start, frame, scomps, qt, huff, dri):
                     return sym
             raise ValueError("malformed JPEG: invalid Huffman code")
 
-        for _ in range(min(per_seg, total_mcus - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for ci, (_cid, hh, v, _qid) in enumerate(comps):
-                dc_tbl, ac_tbl, q = tabs[ci]
-                for by in range(v):
-                    for bx in range(hh):
-                        if pos >= nbits:
-                            raise ValueError("malformed JPEG: truncated scan")
-                        vec = np.zeros(64, np.float64)
-                        s = huffdec(dc_tbl)
-                        diff = extend(receive(s), s) if s else 0
-                        pred[ci] += diff
-                        vec[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = huffdec(ac_tbl)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("malformed JPEG: AC overrun")
-                            vec[k] = extend(receive(s), s)
-                            k += 1
-                        nat = np.zeros(64, np.float64)
-                        nat[zz] = vec * q
-                        blk = A.T @ nat.reshape(8, 8) @ A + 128.0
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * hh + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            mcu += 1
-    if mcu < total_mcus:
-        raise ValueError("malformed JPEG: truncated scan")
+        def decode_unit(block, si, dc_tbl, ac_tbl):
+            nonlocal eobrun
+            if ss == 0:
+                if ah == 0:  # DC first pass
+                    s = huffdec(dc_tbl)
+                    diff = extend(receive(s), s) if s else 0
+                    preds[si] += diff
+                    block[0] = preds[si] << al
+                elif bit():  # DC refinement: one bit per block
+                    block[0] |= 1 << al
+            if se == 0:
+                return
+            k = max(ss, 1)
+            if ah == 0:  # AC first pass (band [k..se], values << al)
+                if eobrun:
+                    eobrun -= 1
+                    return
+                while k <= se:
+                    rs = huffdec(ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:  # EOBn: this + (eobrun) blocks end
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += receive(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("malformed JPEG: AC overrun")
+                        block[k] = extend(receive(s), s) << al
+                        k += 1
+                return
+            # AC refinement pass (T.81 G.1.2.3: correction bits for
+            # nonzero history, +-1<<al for newly nonzero coefficients)
+            p1, m1 = 1 << al, -1 << al
+            if eobrun == 0:
+                while k <= se:
+                    rs = huffdec(ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += receive(r)
+                            break
+                        # ZRL: r stays 15 — skip 16 zero-history slots
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "malformed JPEG: bad refinement magnitude"
+                            )
+                        val = p1 if bit() else m1
+                    while k <= se:
+                        if block[k] != 0:
+                            if bit() and (block[k] & p1) == 0:
+                                block[k] += p1 if block[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        block[k] = val
+                    k += 1
+            if eobrun > 0:  # finish the current block's corrections
+                while k <= se:
+                    if block[k] != 0 and bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
 
-    # -- upsample to full resolution, crop, color-convert ---------------
+        for _ in range(min(per_seg, total_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for si, (ci, dc_tbl, ac_tbl) in enumerate(sel):
+                    _cid, hh, v, _q = comps[ci]
+                    for by in range(v):
+                        for bx in range(hh):
+                            decode_unit(
+                                coefs[ci][my * v + by, mx * hh + bx],
+                                si, dc_tbl, ac_tbl,
+                            )
+            else:
+                ci, dc_tbl, ac_tbl = sel[0]
+                by, bx = divmod(unit, cbx)
+                decode_unit(coefs[ci][by, bx], 0, dc_tbl, ac_tbl)
+            unit += 1
+    if unit < total_units:
+        raise ValueError("malformed JPEG: truncated scan")
+    return end
+
+
+def _jpeg_reconstruct(frame, coefs, qt):
+    """Dequantize + de-zigzag + block-vectorized IDCT the accumulated
+    coefficient stores, upsample chroma by pixel replication, crop the
+    MCU padding, and color-convert (see :func:`_jpeg_pixels`)."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    # IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16); f = A.T F A
+    u = np.arange(8)
+    A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0] /= np.sqrt(2.0)
+    zz = np.array(_JPEG_ZZ)
+
     full = []
-    for ci, (_cid, hh, v, _qid) in enumerate(comps):
-        p = planes[ci]
+    for ci, (_cid, hh, v, qid) in enumerate(comps):
+        q = qt.get(qid)
+        if q is None:
+            raise ValueError("malformed JPEG: missing quantization table")
+        deq = coefs[ci].astype(np.float64) * q[None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, zz] = deq  # de-zigzag: stream position k -> index zz[k]
+        by, bx = nat.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8)
+        spatial = np.einsum("ux,abuv,vy->abxy", A, blocks, A) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         if hh < hmax:
-            p = np.repeat(p, hmax // hh, axis=1)
+            plane = np.repeat(plane, hmax // hh, axis=1)
         if v < vmax:
-            p = np.repeat(p, vmax // v, axis=0)
-        full.append(p[:h, :w])
+            plane = np.repeat(plane, vmax // v, axis=0)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     y, cb, cr = full

@@ -178,11 +178,12 @@ def test_decode_pixels_native_and_gated():
     assert raster[1].tolist() == [[0, 0, 255], [255, 255, 255]]  # blue, white
     with pytest.raises(NotImplementedError, match="codec"):
         decode_pixels(_webp_vp8l(4, 4))
-    # progressive JPEG (SOF2) keeps the honest codec gate; the old
-    # header-only baseline stub is now MALFORMED (it has no tables/
-    # scan), not gated — fail-loud, never a silently-wrong raster
+    # arithmetic-coded JPEG (SOF10) keeps the honest codec gate; the
+    # old header-only baseline stub is now MALFORMED (it has no
+    # tables/scan), not gated — fail-loud, never a silently-wrong
+    # raster
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_pixels(_jpeg(4, 4).replace(b"\xff\xc0", b"\xff\xc2"))
+        decode_pixels(_jpeg(4, 4).replace(b"\xff\xc0", b"\xff\xca"))
     with pytest.raises(ValueError, match="malformed JPEG"):
         decode_pixels(_jpeg(4, 4))
 
@@ -586,6 +587,195 @@ def test_decode_pixels_jpeg_color_sampling_and_restarts():
     plain = decode_pixels(_encode_jpeg(y, cb, cr, sampling=(2, 2)))
     restarts = decode_pixels(_encode_jpeg(y, cb, cr, sampling=(2, 2), dri=1))
     assert (plain == restarts).all()
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _jpeg_tables_prelude(ncomp: int, sof_marker: int, h: int, w: int, sampling) -> bytes:
+    """SOI + all-ones DQT + the fixed-length DHT pair + SOFn for the
+    test encoders (components: 1=luma at ``sampling``, chroma 1x1)."""
+    import struct
+
+    hy, vy = sampling
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    ac_counts = bytes([0] * 7 + [162] + [0] * 8)
+    dht = (
+        b"\x00" + dc_counts + bytes(range(12))
+        + b"\x10" + ac_counts + bytes(_AC_SYMS)
+    )
+    sof = b"\x08" + struct.pack(">HH", h, w) + bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        hs, vs = (hy, vy) if cid == 1 else (1, 1)
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, b"\x00" + bytes([1] * 64))
+        + _jpeg_seg(0xC4, dht)
+        + _jpeg_seg(sof_marker, sof)
+    )
+
+
+def _encode_jpeg_progressive(y, cb=None, cr=None, sampling=(1, 1)):
+    """Spectral-selection-only progressive encoder (test oracle): one
+    interleaved DC scan (Ss=0, Se=0) then one full-band AC scan per
+    component (Ss=1, Se=63), no successive approximation. Coefficients
+    are identical to _encode_jpeg's, so the decoded raster must match
+    the baseline encoding bit-for-bit."""
+    from gazelle_plugin_spark.operators.multimodal import _JPEG_ZZ
+
+    A = _jpeg_dct_basis()
+    zz = list(_JPEG_ZZ)
+    h, w = y.shape
+    hy, vy = sampling
+    mcux, mcuy = -(-w // (8 * hy)), -(-h // (8 * vy))
+
+    def pad(plane, bh, bw):
+        return np.pad(
+            plane.astype(np.float64),
+            ((0, bh * 8 - plane.shape[0]), (0, bw * 8 - plane.shape[1])),
+            mode="edge",
+        )
+
+    comps = [(1, hy, vy, pad(y, mcuy * vy, mcux * hy))]
+    if cb is not None:
+        comps.append((2, 1, 1, pad(cb[::vy, ::hy], mcuy, mcux)))
+        comps.append((3, 1, 1, pad(cr[::vy, ::hy], mcuy, mcux)))
+
+    coefs = []
+    for _cid, _hs, _vs, plane in comps:
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((nby, nbx, 64), np.int64)
+        for rr in range(nby):
+            for cc in range(nbx):
+                blk = plane[rr * 8 : rr * 8 + 8, cc * 8 : cc * 8 + 8]
+                arr[rr, cc] = np.rint(A @ (blk - 128.0) @ A.T).reshape(-1)[zz]
+        coefs.append(arr)
+
+    # interleaved DC scan
+    bw_ = _BitWriter()
+    pred = [0] * len(comps)
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (_cid, hs, vs, _p) in enumerate(comps):
+            for by in range(vs):
+                for bx in range(hs):
+                    dc = int(coefs[ci][my * vs + by, mx * hs + bx, 0])
+                    diff, pred[ci] = dc - pred[ci], dc
+                    s = abs(diff).bit_length()
+                    bw_.put(s, 4)
+                    if s:
+                        bw_.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw_.flush()
+    sos_dc = bytes([len(comps)])
+    for cid, _hs, _vs, _p in comps:
+        sos_dc += bytes([cid, 0x00])
+    sos_dc += bytes([0, 0, 0])
+    out = _jpeg_tables_prelude(len(comps), 0xC2, h, w, sampling)
+    out += _jpeg_seg(0xDA, sos_dc) + bytes(bw_.buf)
+
+    # one full-band AC scan per component, over its own ceil-block grid
+    for ci, (cid, hs, vs, _p) in enumerate(comps):
+        cw, ch = -(-(w * hs) // hy), -(-(h * vs) // vy)
+        cbx, cby = -(-cw // 8), -(-ch // 8)
+        bw_ = _BitWriter()
+        for idx in range(cbx * cby):
+            rr, cc = divmod(idx, cbx)
+            vec = coefs[ci][rr, cc]
+            run = 0
+            for k in range(1, 64):
+                v = int(vec[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw_.put(_AC_CODE[0xF0], 8)
+                    run -= 16
+                s2 = abs(v).bit_length()
+                bw_.put(_AC_CODE[(run << 4) | s2], 8)
+                bw_.put(v if v >= 0 else v + (1 << s2) - 1, s2)
+                run = 0
+            if run:
+                bw_.put(_AC_CODE[0x00], 8)  # EOB == EOBn run of 1
+        bw_.flush()
+        out += _jpeg_seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0])) + bytes(bw_.buf)
+    return out + b"\xff\xd9"
+
+
+def test_decode_pixels_jpeg_progressive_spectral_matches_baseline():
+    """A spectral-selection progressive stream carrying the SAME
+    coefficients as the baseline encoding must decode to the identical
+    raster — gray and 4:2:0 color, odd dimensions."""
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.RandomState(23)
+    gray = rng.randint(0, 256, (19, 13), dtype=np.uint8)
+    assert (
+        decode_pixels(_encode_jpeg_progressive(gray))
+        == decode_pixels(_encode_jpeg(gray))
+    ).all()
+
+    y = rng.randint(0, 256, (18, 21), dtype=np.uint8)
+    cb = np.full((18, 21), 77, np.uint8)
+    cr = np.full((18, 21), 150, np.uint8)
+    assert (
+        decode_pixels(_encode_jpeg_progressive(y, cb, cr, sampling=(2, 2)))
+        == decode_pixels(_encode_jpeg(y, cb, cr, sampling=(2, 2)))
+    ).all()
+
+
+def test_decode_pixels_jpeg_progressive_successive_approximation():
+    """Hand-built 4-scan successive-approximation stream over ONE 8x8
+    gray block: DC first at Al=1, AC first at Al=1 (point-transformed
+    values), DC refinement, AC refinement (correction bit for the
+    existing coefficient + a newly-nonzero +-1 insertion + EOB).
+    Final coefficients: DC=16, zigzag-1 = 5, zigzag-2 = 1."""
+    from gazelle_plugin_spark.operators.multimodal import _JPEG_ZZ, decode_pixels
+
+    out = _jpeg_tables_prelude(1, 0xC2, 8, 8, (1, 1))
+
+    # scan 1: DC first pass, Al=1 — sends 16 >> 1 = 8 (size 4)
+    bw_ = _BitWriter()
+    bw_.put(4, 4)
+    bw_.put(8, 4)
+    bw_.flush()
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bytes(bw_.buf)
+
+    # scan 2: AC first pass band 1..63, Al=1 — 5 -> trunc(5/2)=2
+    # (r=0, s=2, bits '10'), 1 -> trunc(1/2)=0 (absent), then EOB
+    bw_ = _BitWriter()
+    bw_.put(_AC_CODE[0x02], 8)
+    bw_.put(2, 2)
+    bw_.put(_AC_CODE[0x00], 8)
+    bw_.flush()
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + bytes(bw_.buf)
+
+    # scan 3: DC refinement Ah=1 -> Al=0 — low bit of 16 is 0
+    bw_ = _BitWriter()
+    bw_.put(0, 1)
+    bw_.flush()
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bytes(bw_.buf)
+
+    # scan 4: AC refinement Ah=1 -> Al=0 — new coefficient at zigzag-2
+    # (rs=0x01, sign bit 1 = +1), correction bit 1 for zigzag-1
+    # (2<<1=4 -> 5), then EOB covering the rest of the band
+    bw_ = _BitWriter()
+    bw_.put(_AC_CODE[0x01], 8)
+    bw_.put(1, 1)  # sign: +1
+    bw_.put(1, 1)  # correction bit for the existing zigzag-1 coefficient
+    bw_.put(_AC_CODE[0x00], 8)
+    bw_.flush()
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + bytes(bw_.buf)
+    out += b"\xff\xd9"
+
+    got = decode_pixels(out)
+
+    A = _jpeg_dct_basis()
+    nat = np.zeros(64)
+    nat[_JPEG_ZZ[0]], nat[_JPEG_ZZ[1]], nat[_JPEG_ZZ[2]] = 16, 5, 1
+    exp = np.clip(np.round(A.T @ nat.reshape(8, 8) @ A + 128.0), 0, 255)
+    assert (got == exp.astype(np.uint8)).all()
 
 
 def test_decode_pixels_jpeg_truncated_fails_loud():
