@@ -778,6 +778,28 @@ def test_decode_pixels_jpeg_progressive_successive_approximation():
     assert (got == exp.astype(np.uint8)).all()
 
 
+@pytest.mark.parametrize("dims", [(1, 1), (3, 5), (7, 24), (40, 1), (9, 9)])
+def test_decode_pixels_jpeg_edge_dimensions(dims):
+    """Every (dims x sampling) combination round-trips: tiny images,
+    single-row/column, MCU-straddling odd sizes. Gray error bounded by
+    DCT rounding (<=2); progressive equals baseline bit-for-bit."""
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    h, w = dims
+    rng = np.random.RandomState(h * 41 + w)
+    y = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    cb = np.full((h, w), 100, np.uint8)
+    cr = np.full((h, w), 140, np.uint8)
+    g = decode_pixels(_encode_jpeg(y))
+    assert g.shape == (h, w)
+    assert np.abs(g.astype(int) - y.astype(int)).max() <= 2
+    for sampling in [(1, 1), (2, 2), (2, 1), (1, 2)]:
+        c = decode_pixels(_encode_jpeg(y, cb, cr, sampling=sampling))
+        assert c.shape == (h, w, 3), sampling
+        p = decode_pixels(_encode_jpeg_progressive(y, cb, cr, sampling=sampling))
+        assert (p == c).all(), sampling
+
+
 def test_decode_pixels_jpeg_truncated_fails_loud():
     """A scan cut mid-MCU raises ValueError, never returns a partial
     raster."""
