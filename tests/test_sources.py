@@ -195,3 +195,71 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     # and the result only touches the kept partition
     assert j.select("l_returnflag").distinct().collect()[0].l_returnflag == "A"
+
+
+def test_nested_types_round_trip(spark, tmp_path):
+    """struct / array / map / array<array<string>> columns round-trip
+    through parquet AND orc with exact schema and values (reference
+    ArrowDataSourceTest.scala:358,369,380 — '(parquet|orc) reader on
+    data type: struct, array, map' and the nested string-array
+    schema)."""
+    df = spark.sql(
+        """
+        SELECT id,
+               named_struct('a', id, 'b', cast(id as string)) AS s,
+               array(id, id + 1, id + 2) AS arr,
+               map(cast(id as string), id) AS m,
+               array(array(cast(id as string)), array('x')) AS aas
+        FROM range(10)
+        """
+    )
+    for fmt in ("parquet", "orc"):
+        target = str(tmp_path / f"nested_{fmt}")
+        write(df, target, fmt=fmt)
+        back = read(spark, target, fmt=fmt)
+        # names+types exact; nullability excluded (file formats read
+        # back nullable — standard Spark behavior for both engines)
+        assert back.schema.simpleString() == df.schema.simpleString(), fmt
+        assert sorted(map(repr, back.collect())) == sorted(
+            map(repr, df.collect())
+        ), fmt
+
+
+def test_csv_tab_separated(spark, tmp_path):
+    """Tab-separated CSV via the sep option (reference
+    ArrowDataSourceTest.scala:465 'read csv file 3 - tab separated')."""
+    p = tmp_path / "people.tsv"
+    p.write_text("name\tage\nalice\t1\nbob\t2\n")
+    df = read(spark, str(p), fmt="csv", sep="\t", schema="name string, age int")
+    assert [(r.name, r.age) for r in df.orderBy("age").collect()] == [
+        ("alice", 1),
+        ("bob", 2),
+    ]
+
+
+def test_parquet_schema_merge(spark, tmp_path):
+    """mergeSchema unions column sets across files written with
+    different schemas (reference ArrowDataSourceTest.scala:483 'Test
+    schema merge on arrow datasource')."""
+    base = str(tmp_path / "merged")
+    spark.range(3).select(F.col("id").alias("a")).write.parquet(base + "/p=1")
+    spark.range(3).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    ).write.parquet(base + "/p=2")
+    got = read(spark, base, mergeSchema="true")
+    assert {"a", "b", "p"} <= set(got.columns)
+    assert got.filter("p = 1").filter("b IS NOT NULL").count() == 0  # backfilled
+    assert got.filter("p = 2").filter("b IS NULL").count() == 0
+    assert got.count() == 6
+
+
+def test_case_insensitive_column_resolution(spark, tmp_path):
+    """Read-back column resolution is case-insensitive under Spark's
+    default caseSensitive=false (reference
+    ArrowDataSourceTest.scala:287 'read and write with case sensitive
+    or insensitive')."""
+    target = str(tmp_path / "cased")
+    spark.range(4).select(F.col("id").alias("Value")).write.parquet(target)
+    got = read(spark, target).select("vAlUe")
+    assert got.count() == 4
+    assert got.columns == ["vAlUe"]
