@@ -52,6 +52,16 @@ def _rows(df):
         "events_scd2",
         "doc_cms_heavyhitters",
         "rel_exact_percentiles",
+        # round 10: the newest families — a verbatim TPC-DS text with
+        # rank-within-ROLLUP (grouping-level window over Expand), a
+        # v2.7 UNION-rewrite variant (N aggregate branches over one
+        # exchange), the IVF-ADC candidate scoring's decimal LUT sums,
+        # and the incremental-dedup probe whose hot-bucket salting
+        # must stay a layout-free no-op on healthy data
+        "tpcdsfull_q86",
+        "dsv27_q86a",
+        "emb_ivfpq_search",
+        "doc_incremental_dedup",
     ],
 )
 def test_result_invariant_to_shuffle_width(spark, name):
