@@ -8,11 +8,14 @@ batches cross to Python once, vectorized inside). HEADER metadata
 JPEG, GIF, and WEBP — pure struct reads, no codec library — and is
 total (bad blobs yield None dims, never a mid-batch abort). PIXEL
 decode is native for netpbm, 24/32-bit BMP, PNG (stdlib zlib + numpy
-unfilter), and GIF (pure-Python LZW) — no codec library anywhere —
-and raises a clearly-marked env-gated NotImplementedError for
-JPEG/WEBP, whose entropy coding needs a codec the container does not
-ship. The Spark-side contract (schemas, batching, partitioning) is
-real and tested (tests/test_multimodal.py).
+unfilter), GIF (pure-Python LZW), and Huffman-coded JPEG — baseline,
+extended sequential, AND progressive (SOF0/1/2 incl. spectral
+selection, successive approximation, restart intervals) — with no
+codec library anywhere; only WEBP and the non-Huffman-DCT JPEG
+variants (lossless/hierarchical/arithmetic, SOF3/5-7/9-15) raise a
+clearly-marked NotImplementedError. The Spark-side contract
+(schemas, batching, partitioning) is real and tested
+(tests/test_multimodal.py).
 
 Scale notes (100 TB of media): blobs should live in the lake as
 (metadata parquet + object-store URIs or inline binary <= a few MB);
@@ -237,7 +240,7 @@ def decode_header(b: bytes) -> tuple[str, int | None, int | None, str | None]:
     None dimensions) so one bad blob cannot abort a whole mapInPandas
     batch; non-image RIFF containers (WAV/AVI) and everything else
     return their format tag with None dimensions. Only PIXEL decode of
-    the entropy-coded formats (JPEG/WEBP) is env-gated — see
+    WEBP and non-Huffman-DCT JPEG variants remains gated — see
     :func:`decode_pixels`."""
     import struct
 
@@ -411,7 +414,11 @@ def _gif_pixels(b: bytes):
             out = bytearray()
             acc = nbits = 0
             prev: bytes | None = None
+            done = False  # EOI ends the WHOLE stream: bytes after it
+            # (sub-block padding) must not be decoded as codes
             for byte in data:
+                if done:
+                    break
                 acc |= byte << nbits
                 nbits += 8
                 while nbits >= width:
@@ -424,7 +431,7 @@ def _gif_pixels(b: bytes):
                         prev = None
                         continue
                     if code == eoi:
-                        nbits = 0
+                        done = True
                         break
                     if code < len(table):
                         entry = table[code]
@@ -851,12 +858,14 @@ def decode_pixels(b: bytes):
     """Decode a blob to a raster numpy array. Codec-free formats decode
     natively: netpbm P5/P6 (raw grayscale / RGB), uncompressed 24/
     32-bit BMP, PNG (stdlib zlib + numpy unfilter — _png_pixels), GIF
-    (pure-Python LZW — _gif_pixels), and baseline-Huffman JPEG
-    (pure-Python entropy decode + numpy IDCT — _jpeg_pixels).
-    Progressive JPEG and WEBP require a codec library this environment
-    does not ship — the documented env-gated NotImplementedError lives
-    HERE, at the pixel grain, not in header metadata (decode_header is
-    total)."""
+    (pure-Python LZW — _gif_pixels), and Huffman-coded JPEG — baseline,
+    extended sequential, and progressive, incl. spectral selection /
+    successive approximation / restart intervals (pure-Python entropy
+    decode + numpy IDCT — _jpeg_pixels). Only WEBP and the
+    non-Huffman-DCT JPEG variants (lossless/hierarchical/arithmetic,
+    SOF3/5-7/9-15) require a codec library this environment does not
+    ship — that documented NotImplementedError lives HERE, at the
+    pixel grain, not in header metadata (decode_header is total)."""
     import struct
 
     import numpy as np
@@ -912,7 +921,8 @@ def decode_pixels(b: bytes):
         f"decode_pixels: {fmt} pixel decode needs a codec library (WEBP "
         "VP8/VP8L entropy coding); this environment ships none (header "
         "metadata decodes natively for all formats — see decode_header; "
-        "PNG/GIF/BMP/netpbm and baseline JPEG pixels decode codec-free)"
+        "PNG/GIF/BMP/netpbm and all Huffman-coded JPEG variants decode "
+        "codec-free)"
     )
 
 

@@ -71,44 +71,44 @@ def load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # NEVER driver-verified first (rotation policy): the 7 round-9
-    # late-addition tpcdsfull rows ...
-    "tpcdsfull_q5",
-    "tpcdsfull_q19",
-    "tpcdsfull_q38",
-    "tpcdsfull_q87",
-    "tpcdsfull_q94",
-    "tpcdsfull_q95",
-    "tpcdsfull_q96",
-    # ... and the NEW round-10 TPC-DS v2.7.0 variant tranche
-    # (plans/sqltext_tpcds_v27.py) — 12 value-safe texts executed
-    # verbatim/fitted over the same widened star catalog
-    "dsv27_q5a",
-    "dsv27_q6",
-    "dsv27_q10a",
-    "dsv27_q11",
-    "dsv27_q14a",
-    "dsv27_q34",
-    "dsv27_q67a",
-    "dsv27_q70a",
-    "dsv27_q74",
-    "dsv27_q75",
-    "dsv27_q80a",
-    "dsv27_q86a",
-    # STALEST evidence next: the 12 rows whose only driver green is
-    # r02 (TPC-H q7-q20 stragglers + the SSB flights)
-    "q7", "q10", "q12", "q13", "q14", "q15", "q17", "q20",
-    "ssb2_2", "ssb3_2", "ssb3_3", "ssb4_2",
-    # ... then the full r04 cohort (last green 6 rounds ago)
-    "doc_lang_id", "doc_quality", "doc_simhash", "doc_text_stats",
-    "doc_token_counts", "emb_topk_cosine", "rel_collect",
-    "rel_cross_join", "rel_except", "rel_intersect", "rel_union_distinct",
-    # ... and 7 r05 rows chosen to keep the per-family invariant
-    # (events_/expr_/mm_/ds_ each need a representative)
-    "events_lag_lead", "events_sessionize",
-    "expr_string", "expr_math",
-    "mm_blob_stats", "mm_frame_sample",
-    "ds_double_exists",
+    # NEVER driver-verified first (rotation policy): the 16 round-10
+    # late registrations (commit 731b722, after the r10 window froze) —
+    # 11 verbatim + 5 fitted TPC-DS full-corpus texts. Driver-verifying
+    # these closes the union of CORRECTNESS_r01..r11 back to 100% of
+    # registered queries (round-10 verdict item 1).
+    "tpcdsfull_q42",
+    "tpcdsfull_q43",
+    "tpcdsfull_q52",
+    "tpcdsfull_q55",
+    "tpcdsfull_q65",
+    "tpcdsfull_q67",
+    "tpcdsfull_q70",
+    "tpcdsfull_q77",
+    "tpcdsfull_q79",
+    "tpcdsfull_q80",
+    "tpcdsfull_q92",
+    "tpcdsfull_q3",
+    "tpcdsfull_q34",
+    "tpcdsfull_q46",
+    "tpcdsfull_q68",
+    "tpcdsfull_q73",
+    # STALEST evidence next: the full r05 cohort (32 rows, last green
+    # 6 rounds ago) — after this window no row's newest green is older
+    # than r06.
+    "doc_exact_dedup", "doc_ngram_jaccard", "doc_winnow_fingerprint",
+    "ds_except_churn", "ds_intersect_yoy", "ds_rollup_rank",
+    "ds_union_agg", "ds_yoy_ratio",
+    "emb_lsh_topk", "emb_neardup_pairs",
+    "events_funnel", "events_hourly", "events_json_edges",
+    "events_json_stats", "events_ntile", "events_range_join",
+    "events_running_total", "events_time_parts", "events_user_topk",
+    "expr_hash", "expr_misc", "expr_nested",
+    "rel_agg_stats", "rel_except_all", "rel_exists_flag",
+    "rel_full_outer", "rel_intersect_all", "rel_not_in_nullable",
+    "rel_percentile", "rel_salted_join", "rel_shj", "rel_smj",
+    # ... and the stalest mm_ row (r09) to keep the per-family
+    # invariant (the r05 cohort spans every other family).
+    "mm_byte_features",
 )
 
 #: Window entries with NO DuckDB oracle. Empty since round 8:

@@ -382,6 +382,26 @@ def test_decode_pixels_gif_lzw():
     assert (got == np.frombuffer(pal16, np.uint8).reshape(-1, 3)[idx]).all()
 
 
+def test_decode_pixels_gif_padding_after_eoi():
+    """Bytes after the EOI code (legal sub-block padding) must be
+    ignored, not decoded as further LZW codes — the decoder stops
+    consuming the byte stream entirely at EOI (advisory r10 item)."""
+    import numpy as np
+
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    pal = bytes(range(12))
+    idx = np.tile(np.array([[0, 1], [2, 3]], np.uint8), (3, 4))
+    blob = _encode_gif(idx, pal, min_code=2)
+    # splice an extra data sub-block of junk between the final LZW
+    # sub-block and the 0x00 terminator: 0xFF bytes are NOT valid
+    # codes for the tiny post-EOI table, so decoding them would raise
+    assert blob.endswith(b"\x00\x3b")
+    padded = blob[:-2] + bytes([4]) + b"\xff\xff\xff\xff" + b"\x00\x3b"
+    got = decode_pixels(padded)
+    assert (got == np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]).all()
+
+
 def test_decode_pixels_png_unsupported_shapes_fail_loud():
     """16-bit and Adam7-interlaced PNGs raise NotImplementedError (not
     a silently-wrong raster); truncated streams raise ValueError."""

@@ -1,0 +1,121 @@
+"""Scaling measurement for the dedup/ANN/curation families (SCALE.md).
+
+Runs the doc_*/emb_* pipeline queries against a generated scale dir
+(tools/scale_fixtures.py) and records, per query:
+  - median-of-reps wall time (same protocol as bench.py), and
+  - shuffle write bytes + records, summed over the stages each query
+    executed (Spark UI REST API — ground truth from the scheduler,
+    not an estimate).
+
+Shuffle bytes are the scale-evidence number wall time cannot give:
+superlinear candidate growth in a dedup family shows up as
+shuffle-bytes growth even when small-scale wall time hides it under
+fixed overheads.
+
+One invocation = one scale dir in one fresh JVM (invoke per dir so
+later scale points don't ride earlier JIT warm-up). Appends one JSON
+line to the output file.
+
+Usage: python tools/scale_bench.py <out.jsonl> <scale_dir> [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+import urllib.request
+
+#: doc_/emb_ subset of bench.py's PIPELINE_BENCH (events_* excluded:
+#: scale dirs carry only documents/embeddings) + the ANN recall
+#: baseline and the iterative k-means build.
+SCALE_QUERIES = [
+    "doc_exact_dedup",
+    "doc_minhash_neardup",
+    "doc_ngram_jaccard",
+    "doc_simhash_neardup",
+    "doc_curation_pipeline",
+    "doc_neardup_components",
+    "doc_chunks",
+    "doc_chunk_dedup",
+    "doc_dup_ngram_coverage",
+    "doc_pii_scrub",
+    "doc_pack_sequences",
+    "doc_cms_heavyhitters",
+    "doc_bloom_contamination",
+    "doc_incremental_dedup",
+    "emb_topk_cosine",
+    "emb_lsh_topk",
+    "emb_ivf_search",
+    "emb_pq",
+    "emb_semdedup",
+    "emb_ivfpq_search",
+    "emb_kmeans",
+]
+
+
+def _ui_stages(spark) -> list[dict]:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _shuffle_totals(stages: list[dict], seen: set) -> tuple[int, int]:
+    """Sum shuffle WRITE bytes/records over stages not yet attributed
+    to an earlier query (write side only — read re-counts the same
+    bytes on the consuming stage)."""
+    b = r = 0
+    for s in stages:
+        key = (s["stageId"], s["attemptId"])
+        if key in seen:
+            continue
+        seen.add(key)
+        b += s.get("shuffleWriteBytes", 0)
+        r += s.get("shuffleWriteRecords", 0)
+    return b, r
+
+
+def main() -> None:
+    out_path, sf_dir = sys.argv[1], sys.argv[2]
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    from gazelle_plugin_spark.session import get_spark
+    from gazelle_plugin_spark.plans import all_queries
+
+    spark = get_spark(app_name="scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    seen: set = set()
+    results: dict[str, dict] = {}
+    for name in SCALE_QUERIES:
+        try:
+            spark.sparkContext._jvm.System.gc()
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).collect()
+                times.append(time.perf_counter() - t0)
+            sb, sr = _shuffle_totals(_ui_stages(spark), seen)
+            results[name] = {
+                "sec": round(statistics.median(times), 4),
+                # reps identical plans: per-execution shuffle = total/reps
+                "shuffle_bytes": sb // reps,
+                "shuffle_records": sr // reps,
+            }
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            results[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+        print(f"  {name}: {results[name]}", file=sys.stderr)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_vecs = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    line = {"sf_dir": sf_dir, "docs": n_docs, "vecs": n_vecs, "reps": reps, "queries": results}
+    with open(out_path, "a") as f:
+        f.write(json.dumps(line) + "\n")
+    print(json.dumps({k: v.get("sec") for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
