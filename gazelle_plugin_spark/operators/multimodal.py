@@ -287,12 +287,71 @@ def decode_header(b: bytes) -> tuple[str, int | None, int | None, str | None]:
     return "unknown", None, None, None
 
 
+#: Adam7 interlace pass grid (RFC 2083 §2.6): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp: int):
+    """Unfilter one (sub-)image of h scanlines of w pixels x bpp bytes
+    starting at raw[off]; returns ((h, w*bpp) uint8 array, next offset).
+    The five PNG filter types are byte recurrences with the LEFT
+    neighbor bpp bytes back (RFC 2083 §6) — bpp generalizes the same
+    code to 8- and 16-bit samples."""
+    import numpy as np
+
+    stride = w * bpp
+    need = h * (stride + 1)
+    if off + need > len(raw):
+        raise ValueError("malformed PNG: IDAT size mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        base = off + y * (stride + 1)
+        f = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1)
+        if f == 0:  # None
+            rec = line.copy()
+        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] — a
+            # per-byte-position cumulative sum mod 256 (uint8 wraps)
+            rec = line.reshape(w, bpp).cumsum(axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 2:  # Up (vectorized: uint8 addition wraps)
+            rec = line + prev
+        elif f in (3, 4):  # Average / Paeth: left-recurrences, per byte
+            rec = np.empty(stride, np.uint8)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                up = int(prev[i])
+                if f == 3:
+                    pr = (a + up) >> 1
+                else:
+                    ul = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + up - ul
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
+                    pr = a if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                rec[i] = (int(line[i]) + pr) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out, off + need
+
+
 def _png_pixels(b: bytes):
     """Codec-free PNG pixel decode: stdlib zlib inflate + numpy
     per-scanline unfilter (the five PNG filter types are simple byte
-    recurrences — RFC 2083 §6). Supports the common web shapes:
-    8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced.
-    16-bit and Adam7 raise NotImplementedError (fail-loud contract)."""
+    recurrences — RFC 2083 §6). Supports 8- and 16-bit gray /
+    gray+alpha / RGB / RGBA, 8-bit palette, both non-interlaced and
+    Adam7-interlaced (each interlace pass is its own independently
+    filtered sub-image — RFC 2083 §2.6). Sub-byte depths (1/2/4-bit)
+    raise NotImplementedError (fail-loud contract)."""
     import struct
     import zlib
 
@@ -314,52 +373,46 @@ def _png_pixels(b: bytes):
     if ihdr is None or not idat:
         raise ValueError("malformed PNG: missing IHDR/IDAT")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError("PNG Adam7 interlace is not supported")
-    if depth != 8:
+    if depth not in (8, 16):
         raise NotImplementedError(f"PNG bit depth {depth} is not supported")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"malformed PNG: color type {ctype}")
+    if ctype == 3 and depth != 8:
+        raise ValueError(f"malformed PNG: palette with depth {depth}")
+    bpp = nch * (depth // 8)
     raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("malformed PNG: IDAT size mismatch")
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
-        if f == 0:  # None
-            rec = line.copy()
-        elif f == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] — a
-            # per-channel cumulative sum mod 256 (uint8 cumsum wraps)
-            rec = line.reshape(w, nch).cumsum(axis=0, dtype=np.uint8).reshape(-1)
-        elif f == 2:  # Up (vectorized: uint8 addition wraps)
-            rec = line + prev
-        elif f in (3, 4):  # Average / Paeth: left-recurrences, per byte
-            rec = np.empty(stride, np.uint8)
-            for i in range(stride):
-                a = int(rec[i - nch]) if i >= nch else 0
-                up = int(prev[i])
-                if f == 3:
-                    pr = (a + up) >> 1
-                else:
-                    ul = int(prev[i - nch]) if i >= nch else 0
-                    p = a + up - ul
-                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - ul)
-                    pr = a if pa <= pb and pa <= pc else (up if pb <= pc else ul)
-                rec[i] = (int(line[i]) + pr) & 0xFF
-        else:
-            raise ValueError(f"malformed PNG: filter type {f}")
-        out[y] = rec
-        prev = rec
+    if interlace == 0:
+        out, off = _png_unfilter(raw, 0, w, h, bpp)
+        if off != len(raw):
+            raise ValueError("malformed PNG: IDAT size mismatch")
+    elif interlace == 1:
+        out = np.zeros((h, w * bpp), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, wp, hp, bpp)
+            cols = (
+                (x0 + np.arange(wp) * dx)[:, None] * bpp + np.arange(bpp)
+            ).reshape(-1)
+            out[np.ix_(np.arange(y0, h, dy), cols)] = sub
+        if off != len(raw):
+            raise ValueError("malformed PNG: IDAT size mismatch")
+    else:
+        raise ValueError(f"malformed PNG: interlace method {interlace}")
     if ctype == 3:  # palette indices -> RGB
         if plte is None:
             raise ValueError("malformed PNG: palette image without PLTE")
         pal = np.frombuffer(plte, np.uint8)
         pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
         return pal[out.reshape(h, w)]
+    if depth == 16:  # big-endian sample pairs -> native uint16
+        px = np.frombuffer(out.tobytes(), np.dtype(">u2")).reshape(h, w, nch)
+        px = px.astype(np.uint16)
+        return px.reshape((h, w, nch) if nch > 1 else (h, w))
     return out.reshape((h, w, nch) if nch > 1 else (h, w))
 
 

@@ -188,20 +188,38 @@ def test_decode_pixels_native_and_gated():
         decode_pixels(_jpeg(4, 4))
 
 
-def _encode_png(raster, color_type: int, filters, palette: bytes | None = None) -> bytes:
+#: Adam7 pass grid (RFC 2083 §2.6) — mirrored in the decoder.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _encode_png(
+    raster,
+    color_type: int,
+    filters,
+    palette: bytes | None = None,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
     """Minimal PNG encoder for the decode tests: applies the requested
-    filter type per scanline (the forward transform of RFC 2083 §6),
-    deflates, and wraps proper CRC'd chunks."""
+    filter type per scanline (the forward transform of RFC 2083 §6,
+    with the left neighbor bpp bytes back so 16-bit samples filter
+    correctly), optionally splits into the 7 Adam7 passes, deflates,
+    and wraps proper CRC'd chunks."""
     import struct
     import zlib
 
     import numpy as np
 
-    h = len(raster)
-    arr = np.asarray(raster, dtype=np.uint8).reshape(h, -1)
-    stride = arr.shape[1]
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    w = stride // nch
+    dt = np.uint16 if depth == 16 else np.uint8
+    arr = np.asarray(raster, dtype=dt)
+    h = arr.shape[0]
+    arr = arr.reshape(h, -1, nch)
+    w = arr.shape[1]
+    bpp = nch * (depth // 8)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -214,20 +232,39 @@ def _encode_png(raster, color_type: int, filters, palette: bytes | None = None) 
         pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
         return a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
 
+    def row_bytes(pixels) -> list[int]:
+        if depth == 16:
+            return list(pixels.astype(">u2").tobytes())
+        return [int(v) for v in pixels.reshape(-1)]  # Python ints: the
+        # filter predictors need unwrapped arithmetic (Paeth p=a+b-c)
+
+    def encode_sub(sub) -> bytearray:
+        """Filter one (sub-)image of pixel rows; prev resets per pass."""
+        stride = sub.shape[1] * bpp
+        out = bytearray()
+        prev = [0] * stride
+        for y in range(sub.shape[0]):
+            f = filters[y % len(filters)]
+            row = row_bytes(sub[y])
+            out.append(f)
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                pred = {0: 0, 1: a, 2: up, 3: (a + up) >> 1, 4: paeth(a, up, ul)}[f]
+                out.append((row[i] - pred) & 0xFF)
+            prev = row
+        return out
+
     out = bytearray()
-    prev = [0] * stride
-    for y in range(h):
-        f = filters[y % len(filters)]
-        row = [int(v) for v in arr[y]]
-        out.append(f)
-        for i in range(stride):
-            a = row[i - nch] if i >= nch else 0
-            up = prev[i]
-            ul = prev[i - nch] if i >= nch else 0
-            pred = {0: 0, 1: a, 2: up, 3: (a + up) >> 1, 4: paeth(a, up, ul)}[f]
-            out.append((row[i] - pred) & 0xFF)
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                out += encode_sub(sub)
+    else:
+        out = encode_sub(arr)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     body = chunk(b"IHDR", ihdr)
     if palette is not None:
         body += chunk(b"PLTE", palette)
@@ -402,9 +439,50 @@ def test_decode_pixels_gif_padding_after_eoi():
     assert (got == np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx]).all()
 
 
+def test_decode_pixels_png_16bit():
+    """16-bit PNGs round-trip exactly: samples are big-endian byte
+    PAIRS on the wire, and the filter left-neighbor is bpp=2*nch bytes
+    back — an 8-bit-offset bug would corrupt every Sub/Paeth row."""
+    import numpy as np
+
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 65536, (7, 5), np.uint16)
+    got = decode_pixels(_encode_png(gray, 0, [0, 1, 2, 3, 4], depth=16))
+    assert got.dtype == np.uint16 and got.shape == (7, 5) and (got == gray).all()
+    rgb = rng.randint(0, 65536, (6, 4, 3), np.uint16)
+    got = decode_pixels(_encode_png(rgb, 2, [4, 1, 3, 2], depth=16))
+    assert got.shape == (6, 4, 3) and (got == rgb).all()
+    rgba = rng.randint(0, 65536, (3, 8, 4), np.uint16)
+    assert (decode_pixels(_encode_png(rgba, 6, [1, 4], depth=16)) == rgba).all()
+
+
+def test_decode_pixels_png_adam7():
+    """Adam7-interlaced PNGs reassemble the original raster: each of
+    the 7 passes is an independently filtered sub-image (odd dimensions
+    exercise partial and empty passes)."""
+    import numpy as np
+
+    from gazelle_plugin_spark.operators.multimodal import decode_pixels
+
+    rng = np.random.RandomState(9)
+    for shape, ctype in (((13, 11, 4), 6), ((9, 7, 3), 2), ((5, 3), 0)):
+        img = rng.randint(0, 256, shape, np.uint8)
+        got = decode_pixels(_encode_png(img, ctype, [0, 1, 2, 3, 4], interlace=1))
+        assert (got == img).all(), (shape, ctype)
+    # tiny images leave some passes empty entirely
+    img = rng.randint(0, 256, (1, 1, 3), np.uint8)
+    assert (decode_pixels(_encode_png(img, 2, [4], interlace=1)) == img).all()
+    # 16-bit + Adam7 compose
+    img16 = rng.randint(0, 65536, (10, 6), np.uint16)
+    got = decode_pixels(_encode_png(img16, 0, [3, 4, 1], depth=16, interlace=1))
+    assert got.dtype == np.uint16 and (got == img16).all()
+
+
 def test_decode_pixels_png_unsupported_shapes_fail_loud():
-    """16-bit and Adam7-interlaced PNGs raise NotImplementedError (not
-    a silently-wrong raster); truncated streams raise ValueError."""
+    """Sub-byte depths raise NotImplementedError (not a silently-wrong
+    raster); truncated streams raise ValueError."""
     import struct
     import zlib
 
@@ -422,9 +500,7 @@ def test_decode_pixels_png_unsupported_shapes_fail_loud():
         return base[:8] + chunk + base[8 + 25:]
 
     with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_pixels(with_ihdr(16, 0))
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_pixels(with_ihdr(8, 1))
+        decode_pixels(with_ihdr(4, 0))
     with pytest.raises(ValueError, match="malformed PNG"):
         decode_pixels(_png(4, 4))  # header-only stream, no IDAT
 

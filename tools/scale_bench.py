@@ -22,10 +22,13 @@ Usage: python tools/scale_bench.py <out.jsonl> <scale_dir> [reps]
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
 import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: doc_/emb_ subset of bench.py's PIPELINE_BENCH (events_* excluded:
 #: scale dirs carry only documents/embeddings) + the ANN recall
@@ -84,10 +87,27 @@ def main() -> None:
     from gazelle_plugin_spark.session import get_spark
     from gazelle_plugin_spark.plans import all_queries
 
-    spark = get_spark(app_name="scale-bench")
+    # bench.py's JVM profile: real heap (Spark's 1g local default OOMs
+    # a 21-query session at sf1) + the 512m code cache that keeps JIT
+    # alive across the session's thousands of generated classes
+    mem = os.environ.get("SPARK_GRAFT_BENCH_MEM", "8g")
+    spark = get_spark(
+        app_name="scale-bench",
+        extra_confs={
+            "spark.driver.memory": mem,
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    # untimed warm pass: JVM/JIT + parquet footer caches (bench.py's
+    # _warm discipline) so the first measured query isn't startup
+    try:
+        queries["doc_exact_dedup"](spark, sf_dir).collect()
+    except Exception:  # noqa: BLE001 - warm-up is best-effort
+        pass
     seen: set = set()
+    _shuffle_totals(_ui_stages(spark), seen)  # absorb warm-up stages
     results: dict[str, dict] = {}
     for name in SCALE_QUERIES:
         try:
