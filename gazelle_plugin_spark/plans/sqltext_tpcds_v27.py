@@ -253,7 +253,10 @@ def _register(qname: str, name: str, fitted: bool) -> None:
 #: (moving-average outputs), q12/q20/q98 (revenueratio), q18a (the
 #: q18-class avg CAST rounding divergence, pinned in the test sweep),
 #: q49 (rank over decimal-division ratios), q24/q51a (structurally
-#: empty here — verbatim both-engines-agree checks only).
+#: empty here — verbatim both-engines-agree checks only), q14/q64
+#: (duplicate output column names from two-sided self-join projections
+#: — the driver compare sorts columns by name, so dup names cannot
+#: hash stably; pytest-compared via the positional normalizer).
 DRIVER_TRANCHE: tuple[tuple[str, bool], ...] = (
     ("q5a", False),
     ("q6", True),
@@ -267,6 +270,12 @@ DRIVER_TRANCHE: tuple[tuple[str, bool], ...] = (
     ("q75", True),
     ("q80a", False),
     ("q86a", False),
+    # round-11 additions: count outputs (q72) and exact-sum channel
+    # report (q77a) — verbatim non-empty, verified against a PLAIN
+    # DuckDB connection (driver null-order semantics) before
+    # registration per the round-10 tranche policy.
+    ("q72", False),
+    ("q77a", False),
 )
 
 

@@ -61,6 +61,9 @@ BNLJ_ALLOWED = {
     # is an UNGROUPED global aggregate over catalog_returns — a 1-row
     # broadcast side by construction (reference tpcds/q77.sql:86)
     "tpcdsfull_q77",
+    # the v2.7.0 UNION-rewrite of the same text keeps the same three
+    # 1-row ungrouped-aggregate cross joins (tpcds-v2.7.0/q77a.sql)
+    "dsv27_q77a",
 }
 
 

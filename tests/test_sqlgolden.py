@@ -165,8 +165,11 @@ EXPR_FILES = [
     "datetime-parsing-legacy",
     # round-10 final sweep: the last portable non-DDL/non-udf files
     # (ignored.sql ships no golden; udf/* is non-portable by design;
-    # describe*/show*/explain*/charvarchar/change-column pin metadata
-    # formatting that changes every Spark version)
+    # the describe*/show*/charvarchar/change-column metadata files
+    # joined in round 11 via the stable-field line compare — see
+    # DDL_FILES_T below; explain/explain-aqe remain excluded: they pin
+    # WHOLE physical-plan rendering, which changes every Spark version
+    # by design — this repo's plan contract is tests/plan_goldens.json)
     "query_regex_column",
     "columnresolution-views",
     "columnresolution-negative",
@@ -234,12 +237,44 @@ ANSI_FILES = [
     "ansi/string-functions",
 ]
 
-FILES = DUCK_FILES + EXPR_FILES + PG_FILES + ANSI_FILES
+#: Tranche 5 (round 11): DDL/metadata files — DESCRIBE/SHOW/EXPLAIN
+#: statements compare through sqlgolden's masked stable-field line
+#: layer (DDL_FILES there); SELECTs in the same files compare as typed
+#: values like every other file. udaf.sql replays the reference's
+#: MyDoubleAvg aggregate VALUES through a pandas GROUPED_AGG analog
+#: (the Scala CREATE FUNCTION classpath mechanics are rewritten, see
+#: sqlgolden.FILE_SQL_REWRITES).
+DDL_FILES_T = [
+    "describe",
+    "describe-part-after-analyze",
+    "describe-query",
+    "describe-table-after-alter-table",
+    "describe-table-column",
+    "show-create-table",
+    "show-tables",
+    "show-tblproperties",
+    "show-views",
+    "show_columns",
+    "charvarchar",
+    "change-column",
+    "postgreSQL/create_view",
+    "udaf",
+]
+
+FILES = DUCK_FILES + EXPR_FILES + PG_FILES + ANSI_FILES + DDL_FILES_T
 
 #: Documented Spark 3.1 -> 4 behavior divergences (golden no longer
 #: applies on a current Spark).  Key = Case.key (70-char normalized SQL
 #: prefix) -> reason.
 SKIPS: dict[str, dict[str, str]] = {
+    "describe": {
+        # EXPLAIN-of-command rendering changed beyond the masked
+        # attribute lists: 4 renders the partition spec as [c=Us, d=2]
+        # (3.1: Map(c -> Us, d -> 2)) and catalog-qualifies the column
+        # reference in DescribeColumnCommand.
+        "EXPLAIN DESCRIBE t b": "Spark 4 renders the DescribeColumnCommand column ref catalog-qualified",
+        "EXPLAIN DESCRIBE t PARTITION (c='Us', d=2)": "Spark 4 renders the partition spec as [k=v] (3.1: Map(k -> v))",
+    },
     "group-by-filter": {
         # Spark 3.1 rejected aggregate FILTER clauses containing a
         # subquery or an outer-aggregate reference; Spark 4 supports
@@ -505,8 +540,8 @@ def test_golden_corpus_counts(spark):
     or an over-eager skip list is caught: >=4000 value-compared
     statements, >=1200 pinned-error statements, and <=140 documented
     skips across all the registered files (len(FILES) is pinned by
-    test_registered_file_count; round-10 measured shape: ok=4655,
-    setup=1110, err=1403, skipped=127 over ~7,300 statements)."""
+    test_registered_file_count; round-11 measured shape: ok=4800+,
+    setup=1300+, err=1440+, skipped=129 over ~7,800 statements)."""
     ok = setup = err = skipped = 0
     for rel in FILES:
         for r in g.run_file(spark, rel, SKIPS.get(rel, {})):
@@ -521,9 +556,9 @@ def test_golden_corpus_counts(spark):
 
 def test_registered_file_count():
     """One authoritative corpus-surface number (round-9 verdict item 6
-    pinned COVERAGE.md/SCALE.md/README to this count): 152 golden
-    files as of round 10."""
-    assert len(FILES) == 152, len(FILES)
+    pinned COVERAGE.md/SCALE.md/README to this count): 166 golden
+    files as of round 11 (152 + the 14 DDL/metadata + udaf tranche)."""
+    assert len(FILES) == 166, len(FILES)
     assert len(FILES) == len(set(FILES))
 
 
