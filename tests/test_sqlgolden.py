@@ -1,11 +1,13 @@
 """Golden-file SQL conformance sweep (plans/sqlgolden.py).
 
-Replays 152 files of the reference's vendored Spark SQL query test
+Replays 166 files of the reference's vendored Spark SQL query test
 corpus (sql-tests/inputs + results; the reference validates its native
 engine by replaying the same files through SQLQueryTestSuite /
 NativeSQLConvertedSuite.scala) against the pinned expected outputs:
-~7,300 statements — every SELECT compared as typed values, setup DDL
-executed, expected-error statements asserted to error.
+~7,800 statements — every SELECT compared as typed values, setup DDL
+executed, expected-error statements asserted to error, and (round 11)
+DESCRIBE/SHOW metadata output compared through a masked stable-field
+line layer (sqlgolden.DDL_FILES).
 
 SKIPS documents every known Spark 3.1 -> 4 behavior divergence — each
 entry names the construct and why the golden no longer applies.  The
@@ -576,3 +578,79 @@ def test_duckdb_cross_check(spark):
         assert not failures, f"{rel}: {failures[:3]}"
         total_checked += checked
     assert total_checked >= 300, total_checked
+
+
+# ------------------------------------------------- DDL-normalizer units
+# Pure-function pins for the round-11 metadata compare layer — these
+# encode the traps found during triage so a refactor cannot silently
+# reintroduce them (no Spark needed).
+
+
+def test_ddl_normalize_masks_are_idempotent_on_golden_text():
+    """The live-side masks re-apply harmlessly to golden text that
+    already carries the generation-time masks."""
+    golden = [
+        "Created Time [not included in comparison]",
+        "Created By [not included in comparison]",
+        "Last Access [not included in comparison]",
+        "Location [not included in comparison]/{warehouse_dir}/showdb.db/t/c=Us",
+        "Partition Statistics\t[not included in comparison] bytes, 3 rows",
+    ]
+    live = [
+        "Created Time: Sat Aug 15 17:49:29 UTC 2026",
+        "Created By: Spark 4.1.2",
+        "Last Access: UNKNOWN",
+        "Location: file:/tmp/pytest-of-root/wh/showdb.db/t/c=Us",
+        "Partition Statistics\t1121 bytes, 3 rows",
+    ]
+    assert g._ddl_normalize(golden) == g._ddl_normalize(live)
+
+
+def test_ddl_detail_filter_key_collisions():
+    """'Table Properties' must drop even though 'Table' is a keep key;
+    stable keys survive; unknown detail rows drop on both sides."""
+    lines = [
+        "# Detailed Table Information",
+        "Table\tt",
+        "Table Properties\t[transient_lastDdlTime=123]",
+        "Num Buckets\t2",
+        "View Catalog and Namespace\tspark_catalog.default",
+        "SomeFutureSparkRow\tvalue",
+    ]
+    got = g._ddl_normalize(lines)
+    assert got == sorted(["# Detailed Table Information", "Table t", "Num Buckets 2"])
+
+
+def test_ddl_show_tables_bare_name_rendering():
+    """SHOW TABLES rows reduce to the 3.1 hive rendering (bare name);
+    SHOW TBLPROPERTIES t('key') reduces to the bare value."""
+    c = g.Case(sql="SHOW TABLES", schema="struct<>", output="show_t1\nshow_t2")
+    ok, msg = g.ddl_compare(c, [("showdb", "show_t1", False), ("showdb", "show_t2", False)])
+    assert ok, msg
+    c = g.Case(sql="SHOW TBLPROPERTIES tbl('p1')", schema="struct<>", output="v1")
+    ok, msg = g.ddl_compare(c, [("p1", "v1")])
+    assert ok, msg
+
+
+def test_ddl_show_create_structural_normalization():
+    """SHOW CREATE compares the case-folded, backtick-free structural
+    form: 3.1 goldens vs Spark 4 rendering (no backticks, lowercased
+    identifiers, 'k' = 'v' properties, WITH SCHEMA clause) agree."""
+    golden = "CREATE TABLE `default`.`tbl` (\n`a` INT,\n`b` STRING)\nUSING parquet\nTBLPROPERTIES (\n`a` '1')"
+    live_cell = "CREATE TABLE default.tbl (\na INT,\nb STRING)\nUSING parquet\nTBLPROPERTIES (\n'a' = '1')"
+    c = g.Case(sql="SHOW CREATE TABLE tbl", schema="struct<>", output=golden)
+    ok, msg = g.ddl_compare(c, [(live_cell,)])
+    assert ok, msg
+    # a view's WITH SCHEMA binding clause (Spark 4 addition) is dropped
+    golden_v = "CREATE VIEW `default`.`v`(\n`a`)\nAS SELECT 1 a"
+    live_v = "CREATE VIEW default.v (\na)\nWITH SCHEMA COMPENSATION\nAS SELECT 1 a"
+    c = g.Case(sql="SHOW CREATE TABLE v", schema="struct<>", output=golden_v)
+    ok, msg = g.ddl_compare(c, [(live_v,)])
+    assert ok, msg
+
+
+def test_ddl_compare_reports_differences():
+    """A genuinely different column row still fails loudly."""
+    c = g.Case(sql="DESCRIBE t", schema="struct<>", output="a\tint\t\nb\tstring\t")
+    ok, msg = g.ddl_compare(c, [("a", "int", None), ("b", "bigint", None)])
+    assert not ok and "b bigint" in msg
