@@ -55,6 +55,15 @@ SCALE_QUERIES = [
     "emb_semdedup",
     "emb_ivfpq_search",
     "emb_kmeans",
+    # events/temporal family (all read only events.parquet)
+    "events_sessionize",
+    "events_asof_join",
+    "events_user_topk",
+    "events_funnel",
+    "events_rfm",
+    "events_gapfill",
+    "events_markov",
+    "events_streak",
 ]
 
 

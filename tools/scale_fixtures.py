@@ -84,6 +84,32 @@ def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+EVENTS_PER_SF = 1_000_000
+USERS_PER_SF = 15_000
+EVENT_TYPES = ["signup", "purchase", "view", "click", "error"]
+
+
+def gen_events(n: int, users: int, rng: np.random.Generator) -> pa.Table:
+    """Driver-shape event log: n events over 30 days (timestamp[us],
+    ts-ordered with event_id = position), `users` uniform actors, 5
+    uniform event types, exponential(50) values, {"k": 0..99} JSON
+    props — the measured sf0.1 profile (100k events / 1,500 users)."""
+    span_us = 30 * 86_400 * 1_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = np.sort(rng.integers(0, span_us, size=n))
+    ts = base + offs.astype("timedelta64[us]")
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, users, size=n), pa.int64()),
+            "event_type": pa.array(rng.choice(EVENT_TYPES, size=n).tolist(), pa.string()),
+            "value": pa.array(np.round(rng.exponential(50.0, size=n), 2), pa.float64()),
+            "props": pa.array([f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n)], pa.string()),
+        }
+    )
+
+
 def gen_embeddings(m: int, rng: np.random.Generator) -> pa.Table:
     centers = rng.standard_normal((N_LABELS, DIM)).astype(np.float32)
     centers *= 0.075 / np.linalg.norm(centers, axis=1, keepdims=True)
@@ -103,9 +129,11 @@ def generate(out_dir: str, sf: float, seed: int = 42) -> None:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng([seed, int(sf * 1000)])
     n_docs, n_vecs = round(DOCS_PER_SF * sf), round(VECS_PER_SF * sf)
+    n_ev, n_users = round(EVENTS_PER_SF * sf), round(USERS_PER_SF * sf)
     pq.write_table(gen_documents(n_docs, rng), os.path.join(out_dir, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(out_dir, "embeddings.parquet"))
-    print(f"wrote {out_dir}: documents={n_docs} embeddings={n_vecs}")
+    pq.write_table(gen_events(n_ev, n_users, rng), os.path.join(out_dir, "events.parquet"))
+    print(f"wrote {out_dir}: documents={n_docs} embeddings={n_vecs} events={n_ev}")
 
 
 if __name__ == "__main__":
