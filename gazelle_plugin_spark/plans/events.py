@@ -985,9 +985,22 @@ def events_gapfill(spark, sf_dir):
             F.sum("dv").cast("double").alias("v"),
         )
     )
+    # explicit-width spread BEFORE the explode: the user-bounds
+    # relation is tiny (one row per user), so AQE coalesces its
+    # aggregate exchange to ONE partition at runtime — and the ~720x
+    # sequence explode would then multiply every row in a single task
+    # (measured at the sf1 scale study: 7-9s single-task stages that
+    # scale linearly with users). The repartition keys must NOT equal
+    # the aggregate's partitioning (a bare user_id repartition is
+    # elided as redundant by the optimizer, putting the explode right
+    # back on the AQE-coalesced exchange); (user_id, h0) forces a
+    # user-specified-width exchange AQE leaves alone, and the explode
+    # runs on all cores.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     grid = (
         hourly.groupBy("user_id")
         .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .repartition(width, "user_id", "h0")
         .select(
             "user_id",
             F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),

@@ -525,9 +525,21 @@ DUCK_SKIPS: dict[str, dict[str, str]] = {
 }
 
 
+def _session_for(spark, rel):
+    """DDL/metadata files run in an ISOLATED session (shared context +
+    catalog, fresh temp-view registry and current database): the suite
+    session's testdata temp views (customer, orders, ...) otherwise
+    SHADOW same-named tables these files create — e.g.
+    describe-table-column's `INSERT INTO customer` resolves against
+    the 8-column testdata view instead of its own 1-column table.
+    newSession() inherits the builder-level engine confs (incl.
+    ansi=false); run_file sets its own per-file confs on top."""
+    return spark.newSession() if rel in g.DDL_FILES or rel == "udaf" else spark
+
+
 @pytest.mark.parametrize("rel", FILES)
 def test_golden_file(spark, rel):
-    results = g.run_file(spark, rel, SKIPS.get(rel, {}))
+    results = g.run_file(_session_for(spark, rel), rel, SKIPS.get(rel, {}))
     bad = [r for r in results if r.status not in ("ok", "setup", "error_ok", "skipped")]
     assert not bad, [(r.status, r.case.key, r.detail) for r in bad]
     # non-vacuity: every file must compare values somewhere — or, for
@@ -546,7 +558,7 @@ def test_golden_corpus_counts(spark):
     setup=1300+, err=1440+, skipped=129 over ~7,800 statements)."""
     ok = setup = err = skipped = 0
     for rel in FILES:
-        for r in g.run_file(spark, rel, SKIPS.get(rel, {})):
+        for r in g.run_file(_session_for(spark, rel), rel, SKIPS.get(rel, {})):
             ok += r.status == "ok"
             setup += r.status == "setup"
             err += r.status == "error_ok"
