@@ -554,8 +554,8 @@ def test_golden_corpus_counts(spark):
     or an over-eager skip list is caught: >=4000 value-compared
     statements, >=1200 pinned-error statements, and <=140 documented
     skips across all the registered files (len(FILES) is pinned by
-    test_registered_file_count; round-11 measured shape: ok=4800+,
-    setup=1300+, err=1440+, skipped=129 over ~7,800 statements)."""
+    test_registered_file_count; round-11 measured shape: ok=4861,
+    setup=1382, err=1438, skipped=129 over 7,810 statements)."""
     ok = setup = err = skipped = 0
     for rel in FILES:
         for r in g.run_file(_session_for(spark, rel), rel, SKIPS.get(rel, {})):
