@@ -71,44 +71,43 @@ def load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # NEVER driver-verified first (rotation policy): the 16 round-10
-    # late registrations (commit 731b722, after the r10 window froze) —
-    # 11 verbatim + 5 fitted TPC-DS full-corpus texts. Driver-verifying
-    # these closes the union of CORRECTNESS_r01..r11 back to 100% of
-    # registered queries (round-10 verdict item 1).
-    "tpcdsfull_q42",
-    "tpcdsfull_q43",
-    "tpcdsfull_q52",
-    "tpcdsfull_q55",
-    "tpcdsfull_q65",
-    "tpcdsfull_q67",
-    "tpcdsfull_q70",
-    "tpcdsfull_q77",
-    "tpcdsfull_q79",
-    "tpcdsfull_q80",
-    "tpcdsfull_q92",
-    "tpcdsfull_q3",
-    "tpcdsfull_q34",
-    "tpcdsfull_q46",
-    "tpcdsfull_q68",
-    "tpcdsfull_q73",
-    # STALEST evidence next: the full r05 cohort (32 rows, last green
-    # 6 rounds ago) — after this window no row's newest green is older
-    # than r06.
-    "doc_exact_dedup", "doc_ngram_jaccard", "doc_winnow_fingerprint",
-    "ds_except_churn", "ds_intersect_yoy", "ds_rollup_rank",
-    "ds_union_agg", "ds_yoy_ratio",
-    "emb_lsh_topk", "emb_neardup_pairs",
-    "events_funnel", "events_hourly", "events_json_edges",
-    "events_json_stats", "events_ntile", "events_range_join",
-    "events_running_total", "events_time_parts", "events_user_topk",
-    "expr_hash", "expr_misc", "expr_nested",
-    "rel_agg_stats", "rel_except_all", "rel_exists_flag",
-    "rel_full_outer", "rel_intersect_all", "rel_not_in_nullable",
-    "rel_percentile", "rel_salted_join", "rel_shj", "rel_smj",
-    # ... and the stalest mm_ row (r09) to keep the per-family
-    # invariant (the r05 cohort spans every other family).
-    "mm_byte_features",
+    # NEVER driver-verified first (rotation policy): the 2 round-11
+    # late registrations (commit 834b688, after the r11 window froze) —
+    # driver-verifying these closes the union of CORRECTNESS_r01..r12
+    # back to 100% of registered queries (round-11 verdict item 2).
+    "dsv27_q72",
+    "dsv27_q77a",
+    # PLAN-CHANGED rows next: events_gapfill's explode now rides a
+    # non-elidable guard repartition (events.py, r11 fix — newest
+    # driver row predates the fix); emb_semdedup's cell count is now
+    # corpus-derived (r12 fix for the fixed-k superlinear finding).
+    "events_gapfill",
+    "emb_semdedup",
+    # STALEST evidence next: the full r06 cohort (26 rows, last green
+    # 6 rounds ago).
+    "doc_chunks", "doc_contamination", "doc_curation_pipeline",
+    "doc_neardup_components", "doc_quota_sample", "doc_repetition",
+    "doc_tfidf_topterms", "doc_train_split", "doc_word_pmi",
+    "ds_bestcust_freqitem", "ds_month_flag_pivot", "ds_moving_rank",
+    "ds_return_outliers", "ds_returns_cov", "ds_ship_ratio_band",
+    "emb_quantize",
+    "events_cohort_retention", "events_markov", "events_zscore",
+    "expr_datetime", "expr_map",
+    "q2",
+    "rel_approx_agg", "rel_pivot", "rel_semi_anti", "rel_unpivot",
+    # ... then 19 of the 46-row r07 cohort (diverse families; the
+    # remaining 27 r07 rows rotate in next round) — after this window
+    # no row's newest green is older than r07.
+    "bkt_colocated_join", "orc_ssb2_1",
+    "doc_bloom_contamination", "doc_chunk_dedup", "doc_cluster_dedup",
+    "doc_cms_heavyhitters", "doc_pii_scrub",
+    "ds_band_distinct", "ds_dual_rank", "ds_lochierarchy",
+    "emb_kmeans", "emb_pq",
+    "events_decay", "events_ohlc", "events_scd2",
+    # the stalest mm_ row (r10) keeps the per-family invariant (the
+    # r06 cohort spans every other family)
+    "mm_blob_stats",
+    "rel_merge_upsert", "rel_trade_pagerank", "rel_window_cntd",
 )
 
 #: Window entries with NO DuckDB oracle. Empty since round 8:

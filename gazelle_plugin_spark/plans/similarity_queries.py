@@ -27,6 +27,8 @@ Scale notes (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -996,26 +998,56 @@ def emb_ivfpq_search(spark, sf_dir):
 #: to a production 0.95-threshold run.
 SEMDEDUP_COS = 0.30
 
-#: Hot-cluster guard (operators/skew.py cap_bucket): clusters above
-#: this size split into hash-salted sub-buckets before the pair join.
-#: Far above any observed cluster size (sf0.1: ~500/cluster), so the
-#: guard is a no-op on healthy data; at 100 TB it bounds a degenerate
-#: cluster's single-task pair cost to ~cap^2 instead of cluster^2.
+#: Hot-cluster guard (operators/skew.py cap_bucket): cells above this
+#: size split into hash-salted sub-buckets before the pair join. With
+#: the corpus-derived cell count below this is purely a DEGENERATE
+#: backstop (healthy cells sit at ~SEMDEDUP_TARGET_CELL_ROWS, far
+#: under the cap, so the guard is a no-op); at 100 TB it bounds a
+#: pathological cell's single-task pair cost to ~cap^2.
 SEMDEDUP_BUCKET_CAP = 4096
+
+#: Target rows per SemDeDup cell. The cell count is DERIVED FROM THE
+#: CORPUS: k = ceil(n / target), so within-cell pair cost is bounded
+#: at ~n * target no matter the corpus size — the r11 sf0.1->sf1
+#: scale study measured the previous fixed-k (label-cell) variant
+#: SUPERLINEAR (shuffle bytes x18.4, candidate records x32 at 10x
+#: corpus) precisely because fixed k makes cells grow with n
+#: (SCALE.md "Round-11"). 250 is the fixture-scale default so the
+#: driver's sf0.01 compare (500 vectors -> k=2) exercises the real
+#: multi-cell path; a production run uses O(10^3..10^4) rows/cell
+#: (SemDeDup paper practice: k scales with corpus) — the posture
+#: (k proportional to n) is what this constant no longer changes.
+SEMDEDUP_TARGET_CELL_ROWS = 250
 
 
 @query(
     "emb_semdedup",
     oracle=f"""
 WITH v AS ({_SQL_VECTORS}),
+seeds AS (
+  SELECT vec_id AS s_label, embedding AS se, n2 AS sn2
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+               COUNT(*) OVER () AS n_total FROM v)
+  WHERE rn <= CEIL(n_total / {SEMDEDUP_TARGET_CELL_ROWS}.0)
+),
+a0 AS (
+  SELECT vec_id, s_label FROM (
+    SELECT v.vec_id, s.s_label,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             ROUND({_sql_dot('v.embedding', 's.se')}
+                   / sqrt(v.n2 * s.sn2), {SIM_DECIMALS}) DESC,
+             s.s_label) AS rk
+    FROM v CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
 dims AS (
-  SELECT label, i.i AS i, AVG(embedding[i.i]::DOUBLE) AS c
-  FROM v, UNNEST(generate_series(1, 64)) AS i(i)
-  GROUP BY label, i.i
+  SELECT a0.s_label, i.i AS i, AVG(v.embedding[i.i]::DOUBLE) AS c
+  FROM v JOIN a0 USING (vec_id), UNNEST(generate_series(1, 64)) AS i(i)
+  GROUP BY a0.s_label, i.i
 ),
 cent AS (
-  SELECT label AS c_label, array_agg(ROUND(c, {SIM_DECIMALS}) ORDER BY i) AS ce
-  FROM dims GROUP BY label
+  SELECT s_label AS c_label, array_agg(ROUND(c, {SIM_DECIMALS}) ORDER BY i) AS ce
+  FROM dims GROUP BY s_label
 ),
 assign AS (
   SELECT vec_id, c_label, embedding, n2 FROM (
@@ -1035,7 +1067,7 @@ dropped AS (
   WHERE ROUND({_sql_dot('a.embedding', 'b.embedding')}
         / sqrt(a.n2 * b.n2), {SIM_DECIMALS}) >= {SEMDEDUP_COS}
 )
-SELECT a.vec_id, a.c_label,
+SELECT a.vec_id, a.c_label AS cell_id,
        (a.vec_id IN (SELECT vec_id FROM dropped)) AS is_dropped
 FROM assign a
 ORDER BY a.vec_id
@@ -1044,31 +1076,55 @@ ORDER BY a.vec_id
 def emb_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
     deduplication of a training corpus — cluster the embedding space
-    (k-means cells; here the per-label coordinate-mean centroids the
-    IVF family already uses), then compare vectors ONLY within their
-    cluster and drop all but one of each semantically-near group
-    (deterministic keep-lowest-id rule, so a vector is dropped iff a
-    LOWER-id vector in its cluster is within the cosine threshold).
-    The fifth dedup family: exact / MinHash / SimHash / LSH-cosine
-    are lexical, SemDeDup is meaning-grain.
+    into spherical k-means cells whose COUNT IS DERIVED FROM THE
+    CORPUS (k = ceil(n / SEMDEDUP_TARGET_CELL_ROWS); seeds are the k
+    lowest vec_ids — the same deterministic-init convention as
+    emb_kmeans — refined by one Lloyd round of coordinate means),
+    then compare vectors ONLY within their cell and drop all but one
+    of each semantically-near group (deterministic keep-lowest-id
+    rule, so a vector is dropped iff a LOWER-id vector in its cell is
+    within the cosine threshold). The fifth dedup family: exact /
+    MinHash / SimHash / LSH-cosine are lexical, SemDeDup is
+    meaning-grain.
 
-    Scale shape: centroids are tiny and broadcast; assignment is one
-    shuffle-free linear pass (the per-row centroid-array fold of
-    :func:`_nearest_centroid`); the pair comparison
-    is an equi-join ON THE CLUSTER ID — candidate cost is
-    sum-of-cluster-sizes^2, never corpus^2, and clusters are bounded
-    by construction at production k (~sqrt(N) cells). Verified
-    against the literal cluster self-join in DuckDB.
+    Scale shape: ONE scalar count() sizes k at runtime (the AQE
+    discipline — a runtime statistic, no row data to the driver; a
+    parquet metadata count at 100 TB); seed selection is a
+    distributed top-k (TakeOrderedAndProject); each assignment pass
+    is a shuffle-free linear map against broadcast centroids (the
+    per-row centroid-array fold of :func:`_nearest_centroid`); the
+    pair comparison is an equi-join ON THE CELL ID. Because k grows
+    with n, candidate cost is bounded at ~n * target rows — the r11
+    scale study measured the previous fixed-k variant superlinear
+    (x18.4 shuffle bytes at 10x corpus) and this construction is the
+    fix; SEMDEDUP_BUCKET_CAP remains only as a degenerate-cell
+    backstop. At IVF-production k (~n/10^4, i.e. ~10^6 cells for
+    10^10 vectors) the broadcast payload is ~10^2 MB — the standard
+    IVF coarse-quantizer scale; beyond that the assignment becomes
+    two-level (route to a centroid shard first), same dataflow.
+    Verified against the identically-seeded cluster self-join in
+    DuckDB.
     """
     v = _vectors(spark, sf_dir)
-    dims = v.select("label", F.posexplode("embedding").alias("pos", "x"))
+    n = v.count()
+    k = max(1, math.ceil(n / SEMDEDUP_TARGET_CELL_ROWS))
+    seeds = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("c_label"), F.col("embedding").alias("ce"))
+    )
+    a0 = _nearest_centroid(v, seeds)
     cent = (
-        dims.groupBy("label", "pos")
+        a0.select(
+            F.col("c_label").alias("s_label"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        .groupBy("s_label", "pos")
         .agg(F.round(F.avg(F.col("x").cast("double")), SIM_DECIMALS).alias("c"))
-        .groupBy("label")
+        .groupBy("s_label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
-            F.col("label").alias("c_label"),
+            F.col("s_label").alias("c_label"),
             F.expr("transform(pc, p -> p.c)").alias("ce"),
         )
     )
@@ -1120,7 +1176,7 @@ def emb_semdedup(spark, sf_dir):
         assign.join(dropped, "vec_id", "left")
         .select(
             "vec_id",
-            "c_label",
+            F.col("c_label").alias("cell_id"),
             F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
         )
         .orderBy("vec_id")

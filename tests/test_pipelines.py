@@ -418,15 +418,24 @@ def test_bloom_never_false_negative(spark):
 
 
 def test_semdedup_drop_rule(spark):
-    """SemDeDup keep-lowest-id rule: within every cluster the
-    lowest-id member is never dropped, and a dropped vector implies a
-    lower-id cluster-mate (checked structurally on the output)."""
+    """SemDeDup keep-lowest-id rule: within every cell the lowest-id
+    member is never dropped, and a dropped vector implies a lower-id
+    cell-mate (checked structurally on the output). Also pins the
+    corpus-derived cell count: k = ceil(n / target) distinct-or-fewer
+    cells, and MORE than one cell at this corpus size (the fixed-k
+    superlinear regression guard — r11 scale study)."""
+    import math
+
+    from gazelle_plugin_spark.plans import similarity_queries as simq
+
     rows = QUERIES["emb_semdedup"](spark, SF_MED).collect()
     assert rows
-    by_cluster = {}
+    by_cell = {}
     for r in rows:
-        by_cluster.setdefault(r.c_label, []).append(r)
+        by_cell.setdefault(r.cell_id, []).append(r)
+    k = math.ceil(len(rows) / simq.SEMDEDUP_TARGET_CELL_ROWS)
+    assert 1 < len(by_cell) <= k
     assert any(r.is_dropped for r in rows)
-    for members in by_cluster.values():
+    for members in by_cell.values():
         lowest = min(members, key=lambda r: r.vec_id)
         assert not lowest.is_dropped, lowest

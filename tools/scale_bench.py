@@ -30,9 +30,10 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: doc_/emb_ subset of bench.py's PIPELINE_BENCH (events_* excluded:
-#: scale dirs carry only documents/embeddings) + the ANN recall
-#: baseline and the iterative k-means build.
+#: doc_/emb_/events_ subset of bench.py's PIPELINE_BENCH (scale dirs
+#: carry documents/embeddings/events — tools/scale_fixtures.py
+#: generates all three) + the ANN recall baseline and the iterative
+#: k-means build.
 SCALE_QUERIES = [
     "doc_exact_dedup",
     "doc_minhash_neardup",
