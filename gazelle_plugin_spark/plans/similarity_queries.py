@@ -1131,19 +1131,34 @@ def emb_semdedup(spark, sf_dir):
     assign = _nearest_centroid(v, cent).select(
         "vec_id", "c_label", "embedding", "n2"
     )
+    # THREE consumers reuse the assignment (both pair-join sides and
+    # the output join); without a materialization Spark re-derives the
+    # whole lineage per branch — 3x the O(n*k) centroid folds and 3x
+    # the seed/Lloyd shuffles (measured: shuffle bytes x17 instead of
+    # x10 at 10x corpus). localCheckpoint cuts the lineage so the
+    # corpus-sized assignment computes ONCE (same discipline as the
+    # connected-components iteration, operators/graph.py); a cluster
+    # run uses a reliable checkpoint dir the same way. Stats are
+    # erased by the checkpoint (known trap) — every join below
+    # broadcasts explicitly, so no auto-broadcast is lost.
+    assign = assign.localCheckpoint(eager=False)
     # Hot-cluster guard (operators/skew.py): a degenerate giant
     # cluster would otherwise go quadratic in ONE join task; buckets
     # over the cap split into hash-salted sub-buckets (cap far above
     # observed cluster sizes -> salt 0 everywhere on healthy data, so
     # the oracle needs no change).
     salted = cap_bucket(assign, ["c_label"], "vec_id", SEMDEDUP_BUCKET_CAP)
-    # The per-pair cosine runs inside the (broadcast) pair join below;
-    # hash-spreading the probe side on the high-cardinality vec_id
-    # gives that fold shuffle-width parallelism instead of riding the
-    # scan's few input splits (the exchange moves |corpus| rows; the
-    # fold it parallelizes is sum-of-cluster-sizes^2 — far bigger).
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    a = salted.repartition(width, "vec_id").select(
+    # The pair join is a SHUFFLE-HASH join on the cell id at EVERY
+    # scale (hint below): the corpus side can never be broadcast at
+    # production size, and without the hint the planner flips regime
+    # with corpus size (broadcast under the threshold, shuffle above),
+    # which showed up in the r12 scale study as a spurious superlinear
+    # bytes step — the exchange COUNT itself changed between scale
+    # points. Fixed-regime cost: each side shuffles |corpus| rows on
+    # (cell, sub) once, linear by construction; reduce-side
+    # parallelism is the cell count (k grows with the corpus, and
+    # cap_bucket sub-splits bound any one task's fold).
+    a = salted.select(
         F.col("c_label"),
         F.col("sub"),
         F.col("vec_id").alias("v1"),
@@ -1156,7 +1171,7 @@ def emb_semdedup(spark, sf_dir):
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("eb"),
         F.col("n2").alias("nb"),
-    )
+    ).hint("shuffle_hash")
     pair_cos = F.round(
         _dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), SIM_DECIMALS
     )

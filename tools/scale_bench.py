@@ -119,7 +119,11 @@ def main() -> None:
     seen: set = set()
     _shuffle_totals(_ui_stages(spark), seen)  # absorb warm-up stages
     results: dict[str, dict] = {}
-    for name in SCALE_QUERIES:
+    # optional comma-separated subset (re-measuring one family after a
+    # plan change shouldn't cost the full 29-query session)
+    subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "")
+    names = [n for n in subset.split(",") if n] or SCALE_QUERIES
+    for name in names:
         try:
             spark.sparkContext._jvm.System.gc()
             times = []
