@@ -136,6 +136,112 @@ def extract_byte_features(
     return df.select(id_col, "blob").mapInPandas(featurize, BYTE_FEATURES_SCHEMA)
 
 
+#: Feature schema produced by extract_pixel_stats.
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_px", IntegerType()),
+        StructField("px_sum", LongType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def extract_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Arrow-batched PIXEL-grain featurizer: run :func:`decode_pixels`
+    on each blob inside mapInPandas and reduce the raster to exact
+    integer stats (count / sum / min / max over all samples). The
+    per-blob loop is the real shape — each blob is an independent
+    codec stream — and the reductions are numpy. Sum/min/max over the
+    DECODED samples make the whole decode path externally checkable:
+    any bit error in unfiltering, bit-depth handling, or interlace
+    reassembly shifts px_sum."""
+    import numpy as np
+
+    names = [f.name for f in PIXEL_STATS_SCHEMA.fields]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in names}
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                px = decode_pixels(bytes(b)).astype(np.int64).reshape(-1)
+                out["doc_id"].append(int(i))
+                out["n_px"].append(int(px.size))
+                out["px_sum"].append(int(px.sum()))
+                out["px_min"].append(int(px.min()))
+                out["px_max"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(stats, PIXEL_STATS_SCHEMA)
+
+
+def encode_png_gray16(raster, interlace: int = 1, filters=(0, 1, 2, 3, 4)) -> bytes:
+    """Planted-fixture PNG encoder: 16-bit GRAYSCALE, optionally
+    Adam7-interlaced, one filter type per scanline cycling ``filters``
+    — the forward transform of RFC 2083 §6 over big-endian 2-byte
+    samples (bpp=2, left neighbor two bytes back). Exists so a
+    DRIVER-visible query (plans/multimodal.py mm_png_pixel_stats) can
+    exercise the decoder's hardest path — 16-bit depth x all five
+    filters x Adam7 reassembly — on deterministic rasters whose pixel
+    values an external oracle re-derives arithmetically; the general
+    multi-color-type twin used by the pytest suite lives in
+    tests/test_multimodal.py."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(raster, dtype=np.uint16)
+    h, w = arr.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    def encode_sub(sub: "np.ndarray") -> bytearray:
+        stride = sub.shape[1] * 2
+        out = bytearray()
+        prev = [0] * stride
+        for y in range(sub.shape[0]):
+            f = filters[y % len(filters)]
+            row = list(sub[y].astype(">u2").tobytes())
+            out.append(f)
+            for i in range(stride):
+                a = row[i - 2] if i >= 2 else 0
+                up = prev[i]
+                ul = prev[i - 2] if i >= 2 else 0
+                pred = {0: 0, 1: a, 2: up, 3: (a + up) >> 1, 4: paeth(a, up, ul)}[f]
+                out.append((row[i] - pred) & 0xFF)
+            prev = row
+        return out
+
+    body = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                body += encode_sub(sub)
+    else:
+        body = encode_sub(arr)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 1 if interlace else 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
 #: Output schema of decode_image.
 IMAGE_META_SCHEMA = StructType(
     [

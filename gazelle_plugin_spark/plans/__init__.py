@@ -83,6 +83,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # corpus-derived (r12 fix for the fixed-k superlinear finding).
     "events_gapfill",
     "emb_semdedup",
+    # NEW this round, registered BEFORE the window froze (the r10/r11
+    # late-registration lesson): the driver-proven PNG decode path
+    # (16-bit + Adam7 + all filters vs an arithmetic oracle).
+    "mm_png_pixel_stats",
     # STALEST evidence next: the full r06 cohort (26 rows, last green
     # 6 rounds ago).
     "doc_chunks", "doc_contamination", "doc_curation_pipeline",
@@ -99,7 +103,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # remaining 27 r07 rows rotate in next round) — after this window
     # no row's newest green is older than r07.
     "bkt_colocated_join", "orc_ssb2_1",
-    "doc_bloom_contamination", "doc_chunk_dedup", "doc_cluster_dedup",
+    "doc_bloom_contamination", "doc_chunk_dedup",
     "doc_cms_heavyhitters", "doc_pii_scrub",
     "ds_band_distinct", "ds_dual_rank", "ds_lochierarchy",
     "emb_kmeans", "emb_pq",

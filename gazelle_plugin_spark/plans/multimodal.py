@@ -14,11 +14,19 @@ from pyspark.sql import functions as F
 
 from gazelle_plugin_spark.operators.multimodal import (
     attach_blob,
+    encode_png_gray16,
     extract_byte_features,
+    extract_pixel_stats,
     sample_frames,
 )
 from gazelle_plugin_spark.plans import query
 from gazelle_plugin_spark.plans._util import t
+
+#: mm_png_pixel_stats fixture geometry: 9x7 exercises the Adam7 edge
+#: passes (odd width/height leave some passes narrow), 8 blobs, pixel
+#: value = (9001*doc_id + 257*x + 263*y) mod 65536 — values span past
+#: 255 (16-bit depth is load-bearing) and wrap for the last doc_id.
+PNG_W, PNG_H, PNG_DOCS = 9, 7, 8
 
 
 @query(
@@ -111,3 +119,54 @@ def mm_byte_features(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_png_pixel_stats",
+    oracle=f"""
+WITH ids AS (SELECT UNNEST(generate_series(0, {PNG_DOCS - 1})) AS doc_id),
+px AS (
+  SELECT ids.doc_id,
+         (9001 * ids.doc_id + 257 * xs.x + 263 * ys.y) % 65536 AS v
+  FROM ids,
+       (SELECT UNNEST(generate_series(0, {PNG_W - 1})) AS x) xs,
+       (SELECT UNNEST(generate_series(0, {PNG_H - 1})) AS y) ys
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS INT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def mm_png_pixel_stats(spark, sf_dir):
+    """END-TO-END image decode through the driver gate: plant 8
+    deterministic 16-bit GRAYSCALE Adam7-interlaced PNGs (pixel value
+    (9001*doc_id + 257*x + 263*y) mod 65536, all five RFC 2083 §6
+    filter types cycling per scanline — operators/multimodal.py
+    encode_png_gray16), decode them with the REAL pixel decoder
+    (:func:`decode_pixels`: zlib inflate + numpy unfilter + Adam7
+    pass reassembly) inside an Arrow-batched mapInPandas, and reduce
+    each raster to exact integer stats. The DuckDB oracle re-derives
+    the same stats from the pixel FORMULA — so any bit error in
+    16-bit sample handling, any filter predictor, or the interlace
+    grid shifts px_sum and fails the hash compare. This promotes the
+    PNG decode path from pytest-only evidence (round-11 verdict item
+    7) to driver-proven.
+
+    Scale shape: the fixture is driver-built (8 tiny blobs) but the
+    pipeline is the production one — binary column -> mapInPandas
+    decode per Arrow batch -> columnar stats; a real corpus swaps the
+    fixture DataFrame for a parquet scan of inline blobs, identical
+    plan from the decode onward. sf_dir is unused: the planted
+    rasters ARE the dataset (same contract at every scale)."""
+    import numpy as np
+
+    rows = []
+    for d in range(PNG_DOCS):
+        y, x = np.mgrid[0:PNG_H, 0:PNG_W]
+        raster = ((9001 * d + 257 * x + 263 * y) % 65536).astype(np.uint16)
+        rows.append((d, bytearray(encode_png_gray16(raster))))
+    blobs = spark.createDataFrame(rows, "doc_id long, blob binary")
+    return extract_pixel_stats(blobs).orderBy("doc_id")

@@ -971,3 +971,42 @@ def test_sample_frames_empty_blob_yields_no_frames(spark):
     out = sample_frames(attach_blob(d), every_n=2)
     got = {(r.doc_id, r.frame_offset) for r in out.collect()}
     assert got == {(1, 0), (1, 2)}
+
+
+def test_encode_png_gray16_roundtrip_adam7():
+    """The package's planted-fixture encoder (16-bit grayscale, Adam7,
+    all five filters) round-trips through decode_pixels exactly — the
+    unit-level twin of the driver query mm_png_pixel_stats."""
+    from gazelle_plugin_spark.operators.multimodal import (
+        decode_pixels,
+        encode_png_gray16,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in ((7, 9), (1, 1), (8, 8), (3, 16)):
+        raster = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+        for interlace in (0, 1):
+            got = decode_pixels(encode_png_gray16(raster, interlace=interlace))
+            assert got.dtype == np.uint16 and got.shape == (h, w)
+            assert (got == raster).all(), (h, w, interlace)
+
+
+def test_mm_png_pixel_stats_matches_formula(spark):
+    """The driver query's decoded pixel stats equal the arithmetic
+    formula the DuckDB oracle uses — computed here independently in
+    numpy (decode errors in 16-bit/filters/Adam7 would shift px_sum)."""
+    from gazelle_plugin_spark.plans import QUERIES
+    from gazelle_plugin_spark.plans.multimodal import PNG_DOCS, PNG_H, PNG_W
+
+    rows = {r["doc_id"]: r for r in QUERIES["mm_png_pixel_stats"](spark, SF_SMALL).collect()}
+    assert len(rows) == PNG_DOCS
+    y, x = np.mgrid[0:PNG_H, 0:PNG_W]
+    for d in range(PNG_DOCS):
+        v = (9001 * d + 257 * x + 263 * y) % 65536
+        r = rows[d]
+        assert r["n_px"] == PNG_W * PNG_H
+        assert r["px_sum"] == int(v.sum())
+        assert r["px_min"] == int(v.min())
+        assert r["px_max"] == int(v.max())
+    # 16-bit depth is load-bearing: every blob must contain samples > 255
+    assert all(r["px_max"] > 255 for r in rows.values())
