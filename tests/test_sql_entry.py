@@ -93,7 +93,7 @@ def test_registry_degrades_without_reference_corpus(monkeypatch):
     """On a machine without the read-only reference checkout, the
     corpus-gated sqltext_*/dstext_* rows never register — the curated
     window must drop them gracefully instead of hard-failing the whole
-    268-query registry (round-8 advice)."""
+    269-query registry (round-8 advice)."""
     import gazelle_plugin_spark.plans as P
     from gazelle_plugin_spark.plans import sqltext, sqltext_tpcds
 
