@@ -113,6 +113,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "mm_blob_stats",
     "rel_merge_upsert", "rel_trade_pagerank", "rel_window_cntd",
 )
+# Round-13 rotation plan (computed at r12 close so next round starts
+# with the choreography done): assuming this window goes green, the
+# r07-stale cohort will be these 28 rows — front them, then fill with
+# the stalest r08 rows; register any NEW queries before re-freezing.
+#   doc_cluster_dedup doc_dup_ngram_coverage doc_hash_embed
+#   doc_mixture_sample doc_pack_sequences doc_rarity ds_best_worst
+#   ds_channel_anti ds_channel_overlap ds_cum_fullouter ds_demo_exists
+#   ds_growth_chain ds_join_chain ds_latency_pivot
+#   ds_multichannel_profit ds_or_bands ds_returns_adjust
+#   ds_rev_histogram ds_time_bands emb_hard_negatives events_rfm
+#   events_streak expr_url rel_bitmap_distinct rel_exact_percentiles
+#   rel_hll_union rel_open_intervals rel_regression
 
 #: Window entries with NO DuckDB oracle. Empty since round 8:
 #: expr_hash_native — the last rows-only entry — now carries a VALUES
