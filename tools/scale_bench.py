@@ -17,6 +17,13 @@ later scale points don't ride earlier JIT warm-up). Appends one JSON
 line to the output file.
 
 Usage: python tools/scale_bench.py <out.jsonl> <scale_dir> [reps]
+
+The scale dir comes from tools/scale_fixtures.py (documents/
+embeddings/events) plus, for the relational star families,
+tools/scale_star_fixtures.py (same dir, adds the 7 star tables).
+$SPARK_GRAFT_SCALE_QUERIES (comma-separated) restricts the query set
+— any registered query name works, e.g. the r12 star study ran
+"ds_lochierarchy,...,ssb3_1" over star-augmented dirs.
 """
 
 from __future__ import annotations
