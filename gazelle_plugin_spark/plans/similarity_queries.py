@@ -106,6 +106,47 @@ def _nearest_centroid(v: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _nearest_centroid_grouped(
+    v: DataFrame, cent: DataFrame, group_col: str
+) -> DataFrame:
+    """Per-ROUTING-GROUP nearest-centroid assignment: like
+    :func:`_nearest_centroid`, but each corpus row folds only over the
+    centroids that share its ``group_col`` (the two-level / IVF
+    coarse-routing shape — O(candidates-in-group) per row instead of
+    O(all k)). Candidate arrays are grouped by ``group_col``,
+    broadcast, and equi-joined on the row's group. The LEFT join +
+    coalesce-to-own-group guards the measure-zero pathology of a
+    routing group holding no centroids (possible only when two seed
+    vectors' ROUNDED cosines tie at the routing level); both engines
+    fall back identically because the oracle mirrors the coalesce."""
+    cents = (
+        cent.withColumn("cn2", _dot("ce", "ce"))
+        .groupBy(group_col)
+        .agg(F.collect_list(F.struct("c_label", "ce", "cn2")).alias("cents"))
+    )
+
+    def _scored(c):
+        prods = F.zip_with(
+            F.col("embedding"), c["ce"],
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+        cos = F.round(
+            F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+            / F.sqrt(F.col("n2") * c["cn2"]),
+            SIM_DECIMALS,
+        )
+        return F.struct(cos.alias("cos"), (-c["c_label"]).alias("negl"))
+
+    best = F.array_max(F.transform(F.col("cents"), _scored))
+    return (
+        v.join(F.broadcast(cents), group_col, "left")
+        .withColumn(
+            "c_label", F.coalesce(-best.getField("negl"), F.col(group_col))
+        )
+        .drop("cents")
+    )
+
+
 _SQL_VECTORS = f"""
   SELECT vec_id, label, embedding,
          {_sql_dot('embedding', 'embedding')} AS n2
@@ -1019,18 +1060,67 @@ SEMDEDUP_BUCKET_CAP = 4096
 #: (k proportional to n) is what this constant no longer changes.
 SEMDEDUP_TARGET_CELL_ROWS = 250
 
+#: Cell count at which assignment switches from the FLAT broadcast
+#: scan (every vector folds over all k seed/centroid candidates) to
+#: TWO-LEVEL coarse routing (fold over ceil(sqrt(k)) coarse centroids,
+#: then only the candidates in that routing group). Measured crossover
+#: (scale study, measurements/semdedup_r12*.jsonl): at k=24 the flat
+#: scan wins (6.7s vs 14.9s — the routed plan's extra stages cost
+#: more than the saved folds), at k=80 routing wins (16.7s vs 26.5s);
+#: the same shape real IVF systems use (brute force below a corpus
+#: size, coarse quantizer above). The DuckDB oracle carries BOTH
+#: branches selected by the same k threshold, so whichever branch the
+#: corpus size picks is the branch the oracle verifies.
+SEMDEDUP_ROUTED_MIN_K = 48
+
 
 @query(
     "emb_semdedup",
     oracle=f"""
 WITH v AS ({_SQL_VECTORS}),
+kk AS (SELECT CAST(CEIL(COUNT(*) / {SEMDEDUP_TARGET_CELL_ROWS}.0) AS BIGINT) AS k
+       FROM v),
 seeds AS (
   SELECT vec_id AS s_label, embedding AS se, n2 AS sn2
-  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-               COUNT(*) OVER () AS n_total FROM v)
-  WHERE rn <= CEIL(n_total / {SEMDEDUP_TARGET_CELL_ROWS}.0)
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v), kk
+  WHERE rn <= kk.k
 ),
-a0 AS (
+coarse AS (
+  SELECT s_label AS g_label, se AS ge, sn2 AS gn2
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY s_label) AS rn FROM seeds), kk
+  WHERE rn <= CEIL(SQRT(kk.k))
+),
+seed_route AS (
+  SELECT s_label, se, sn2, g_label FROM (
+    SELECT s.s_label, s.se, s.sn2, c.g_label,
+           ROW_NUMBER() OVER (PARTITION BY s.s_label ORDER BY
+             ROUND({_sql_dot('s.se', 'c.ge')}
+                   / sqrt(s.sn2 * c.gn2), {SIM_DECIMALS}) DESC,
+             c.g_label) AS rk
+    FROM seeds s CROSS JOIN coarse c
+  ) WHERE rk = 1
+),
+v_route AS (
+  SELECT vec_id, embedding, n2, g_label FROM (
+    SELECT v.vec_id, v.embedding, v.n2, c.g_label,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             ROUND({_sql_dot('v.embedding', 'c.ge')}
+                   / sqrt(v.n2 * c.gn2), {SIM_DECIMALS}) DESC,
+             c.g_label) AS rk
+    FROM v CROSS JOIN coarse c
+  ) WHERE rk = 1
+),
+a0_routed AS (
+  SELECT vec_id, COALESCE(s_label, g_label) AS s_label FROM (
+    SELECT vr.vec_id, vr.g_label, sr.s_label,
+           ROW_NUMBER() OVER (PARTITION BY vr.vec_id ORDER BY
+             ROUND({_sql_dot('vr.embedding', 'sr.se')}
+                   / sqrt(vr.n2 * sr.sn2), {SIM_DECIMALS}) DESC,
+             sr.s_label) AS rk
+    FROM v_route vr LEFT JOIN seed_route sr ON vr.g_label = sr.g_label
+  ) WHERE rk = 1
+),
+a0_flat AS (
   SELECT vec_id, s_label FROM (
     SELECT v.vec_id, s.s_label,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1039,6 +1129,11 @@ a0 AS (
              s.s_label) AS rk
     FROM v CROSS JOIN seeds s
   ) WHERE rk = 1
+),
+a0 AS (
+  SELECT * FROM a0_flat WHERE (SELECT k FROM kk) < {SEMDEDUP_ROUTED_MIN_K}
+  UNION ALL
+  SELECT * FROM a0_routed WHERE (SELECT k FROM kk) >= {SEMDEDUP_ROUTED_MIN_K}
 ),
 dims AS (
   SELECT a0.s_label, i.i AS i, AVG(v.embedding[i.i]::DOUBLE) AS c
@@ -1049,7 +1144,22 @@ cent AS (
   SELECT s_label AS c_label, array_agg(ROUND(c, {SIM_DECIMALS}) ORDER BY i) AS ce
   FROM dims GROUP BY s_label
 ),
-assign AS (
+cent_g AS (
+  SELECT c.c_label, c.ce, sr.g_label
+  FROM cent c JOIN seed_route sr ON c.c_label = sr.s_label
+),
+assign_routed AS (
+  SELECT vec_id, COALESCE(c_label, g_label) AS c_label, embedding, n2 FROM (
+    SELECT vr.vec_id, vr.embedding, vr.n2, vr.g_label, cg.c_label,
+           ROW_NUMBER() OVER (PARTITION BY vr.vec_id ORDER BY
+             ROUND({_sql_dot('vr.embedding', 'cg.ce')}
+                   / sqrt(vr.n2 * {_sql_dot('cg.ce', 'cg.ce')}),
+                   {SIM_DECIMALS}) DESC,
+             cg.c_label) AS rk
+    FROM v_route vr LEFT JOIN cent_g cg ON vr.g_label = cg.g_label
+  ) WHERE rk = 1
+),
+assign_flat AS (
   SELECT vec_id, c_label, embedding, n2 FROM (
     SELECT v.vec_id, c.c_label, v.embedding, v.n2,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1059,6 +1169,12 @@ assign AS (
              c.c_label) AS rk
     FROM v CROSS JOIN cent c
   ) WHERE rk = 1
+),
+assign AS (
+  SELECT * FROM assign_flat WHERE (SELECT k FROM kk) < {SEMDEDUP_ROUTED_MIN_K}
+  UNION ALL
+  SELECT * FROM assign_routed
+  WHERE (SELECT k FROM kk) >= {SEMDEDUP_ROUTED_MIN_K}
 ),
 dropped AS (
   SELECT DISTINCT b.vec_id
@@ -1090,30 +1206,68 @@ def emb_semdedup(spark, sf_dir):
     Scale shape: ONE scalar count() sizes k at runtime (the AQE
     discipline — a runtime statistic, no row data to the driver; a
     parquet metadata count at 100 TB); seed selection is a
-    distributed top-k (TakeOrderedAndProject); each assignment pass
-    is a shuffle-free linear map against broadcast centroids (the
-    per-row centroid-array fold of :func:`_nearest_centroid`); the
-    pair comparison is an equi-join ON THE CELL ID. Because k grows
-    with n, candidate cost is bounded at ~n * target rows — the r11
-    scale study measured the previous fixed-k variant superlinear
-    (x18.4 shuffle bytes at 10x corpus) and this construction is the
-    fix; SEMDEDUP_BUCKET_CAP remains only as a degenerate-cell
-    backstop. At IVF-production k (~n/10^4, i.e. ~10^6 cells for
-    10^10 vectors) the broadcast payload is ~10^2 MB — the standard
-    IVF coarse-quantizer scale; beyond that the assignment becomes
-    two-level (route to a centroid shard first), same dataflow.
-    Verified against the identically-seeded cluster self-join in
-    DuckDB.
+    distributed top-k (TakeOrderedAndProject). Assignment follows the
+    standard IVF size split (SEMDEDUP_ROUTED_MIN_K, measured
+    crossover): below the threshold every vector folds over all k
+    candidates (flat broadcast scan — the extra routing stages cost
+    more than they save at small k); at or above it assignment is
+    TWO-LEVEL — every vector first routes to its nearest of
+    ceil(sqrt(k)) COARSE centroids (the lowest-id seeds), then ranks
+    only the candidates sharing that routing group
+    (:func:`_nearest_centroid_grouped`), dropping per-row fold cost
+    from O(k) to O(~3*sqrt(k)) so the flat variant's one superlinear
+    COMPUTE term (n*k with k proportional to n) becomes ~n^1.5
+    (measured: 26.5s -> 16.7s at the 20k-vector point). Every pass
+    stays a shuffle-free broadcast map. The pair comparison is an
+    equi-join ON THE CELL ID; because k grows with n, candidate cost
+    is bounded at ~n * target rows (measured x10.0 bytes at 10x
+    corpus — SCALE.md round-12); SEMDEDUP_BUCKET_CAP remains only as
+    a degenerate-cell backstop. Verified against the identical
+    branch-selected clustering in DuckDB (the oracle carries both
+    branches gated by the same k threshold — same rounding, same
+    tie-breaks, same coalesce fallback).
     """
     v = _vectors(spark, sf_dir)
     n = v.count()
     k = max(1, math.ceil(n / SEMDEDUP_TARGET_CELL_ROWS))
+    routed = k >= SEMDEDUP_ROUTED_MIN_K
     seeds = (
         v.orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id").alias("c_label"), F.col("embedding").alias("ce"))
     )
-    a0 = _nearest_centroid(v, seeds)
+    if routed:
+        s = max(1, math.ceil(math.sqrt(k)))
+        coarse = (
+            v.orderBy("vec_id")
+            .limit(s)
+            .select(
+                F.col("vec_id").alias("c_label"), F.col("embedding").alias("ce")
+            )
+        )
+        # route the corpus AND the seeds to their coarse group
+        v_route = _nearest_centroid(v, coarse).withColumnRenamed("c_label", "g")
+        seed_route = _nearest_centroid(
+            seeds.select(
+                F.col("c_label").alias("vec_id"),
+                F.col("ce").alias("embedding"),
+                _dot("ce", "ce").alias("n2"),
+            ),
+            coarse,
+        ).select(
+            F.col("vec_id").alias("s_label"),
+            F.col("embedding").alias("se"),
+            F.col("c_label").alias("g"),
+        )
+        a0 = _nearest_centroid_grouped(
+            v_route,
+            seed_route.select(
+                F.col("s_label").alias("c_label"), F.col("se").alias("ce"), "g"
+            ),
+            "g",
+        )
+    else:
+        a0 = _nearest_centroid(v, seeds)
     cent = (
         a0.select(
             F.col("c_label").alias("s_label"),
@@ -1128,9 +1282,24 @@ def emb_semdedup(spark, sf_dir):
             F.expr("transform(pc, p -> p.c)").alias("ce"),
         )
     )
-    assign = _nearest_centroid(v, cent).select(
-        "vec_id", "c_label", "embedding", "n2"
-    )
+    if routed:
+        # refined centroids inherit their seed's routing group, so the
+        # final assignment is grouped too (a vector's cell stays
+        # within its routing group — the a0 cell is always a
+        # candidate)
+        cent_g = cent.join(
+            F.broadcast(
+                seed_route.select(F.col("s_label").alias("c_label"), "g")
+            ),
+            "c_label",
+        )
+        assign = _nearest_centroid_grouped(v_route, cent_g, "g").select(
+            "vec_id", "c_label", "embedding", "n2"
+        )
+    else:
+        assign = _nearest_centroid(v, cent).select(
+            "vec_id", "c_label", "embedding", "n2"
+        )
     # THREE consumers reuse the assignment (both pair-join sides and
     # the output join); without a materialization Spark re-derives the
     # whole lineage per branch — 3x the O(n*k) centroid folds and 3x

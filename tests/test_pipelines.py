@@ -439,3 +439,39 @@ def test_semdedup_drop_rule(spark):
     for members in by_cell.values():
         lowest = min(members, key=lambda r: r.vec_id)
         assert not lowest.is_dropped, lowest
+
+
+def test_semdedup_routed_branch_matches_oracle(spark, tmp_path):
+    """The TWO-LEVEL routed assignment branch (k >=
+    SEMDEDUP_ROUTED_MIN_K) never triggers at the driver test scales,
+    so pin it here: a generated corpus big enough to cross the
+    threshold must hash-match the oracle's routed branch exactly
+    (same coarse routing, same grouped argmax, same coalesce
+    fallback)."""
+    import math
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    import scale_fixtures
+
+    from gazelle_plugin_spark.plans import ORACLE, QUERIES
+    from gazelle_plugin_spark.plans import similarity_queries as simq
+    from tests.compare import assert_same
+
+    d = str(tmp_path / "corpus")
+    scale_fixtures.generate(d, 0.6)  # 12,000 vectors
+    n = 12_000
+    k = math.ceil(n / simq.SEMDEDUP_TARGET_CELL_ROWS)
+    assert k >= simq.SEMDEDUP_ROUTED_MIN_K  # the branch under test
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+        )
+    sdf = QUERIES["emb_semdedup"](spark, d)
+    assert_same(sdf, con.sql(ORACLE["emb_semdedup"]))
+    pdf = sdf.toPandas()
+    assert len(pdf) == n
+    assert 1 < pdf.cell_id.nunique() <= k
