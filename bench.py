@@ -81,9 +81,20 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 #: through this same function.
 WARM_EXCLUDE_UNDER = float(os.environ.get("SPARK_GRAFT_BENCH_WARM_UNDER", "2.0"))
 
+#: Queries whose timed median lands under WARM_EXCLUDE_UNDER extend to
+#: this many timed reps (round-12 verdict task 2): the sub-2s class is
+#: exactly where median-of-3 was repeatedly too noisy for the driver
+#: artifact to adjudicate (ds_dow_pivot 0.437, doc_incremental_dedup
+#: 0.598 — both clean on manual re-bench), so short queries buy more
+#: reps (cheap) and every rep is EMITTED, not just the median.
+SHORT_QUERY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SHORT_REPS", "5"))
 
-def _time_one(spark, fn, sf_dir: str, reps: int = REPS):
-    """Median-of-reps wall time for one query, or an error string.
+
+def _time_one(spark, fn, sf_dir: str, reps: int = REPS) -> dict:
+    """One query's measurement: ``{"sec": median, "t": [timed reps],
+    "w": warm-up rep or None}`` — the per-rep data makes the artifact
+    SELF-certifying (a weak median carries the rep class that caused
+    it: first-plan codegen spike, one GC outlier, or uniform).
 
     An explicit (untimed) JVM GC ahead of the reps keeps heap debt
     from earlier queries out of this query's measurement — over an
@@ -93,7 +104,9 @@ def _time_one(spark, fn, sf_dir: str, reps: int = REPS):
 
     The FIRST execution is kept in the median only when it ran at
     least WARM_EXCLUDE_UNDER seconds; a shorter first rep is warm-up
-    (first-plan codegen) and `reps` further timed reps follow."""
+    (first-plan codegen) and further timed reps follow — `reps` of
+    them, extended to SHORT_QUERY_REPS when the timed median is under
+    the same threshold."""
     try:
         spark.sparkContext._jvm.System.gc()
     except Exception:  # noqa: BLE001 - a GC nudge is best-effort
@@ -101,12 +114,24 @@ def _time_one(spark, fn, sf_dir: str, reps: int = REPS):
     start = time.perf_counter()
     fn(spark, sf_dir).collect()
     first = time.perf_counter() - start
-    times = [] if first < WARM_EXCLUDE_UNDER else [first]
-    while len(times) < reps:
+    warm = round(first, 4) if first < WARM_EXCLUDE_UNDER else None
+    times = [] if warm is not None else [first]
+    target = reps
+    while len(times) < target:
         start = time.perf_counter()
         fn(spark, sf_dir).collect()
         times.append(time.perf_counter() - start)
-    return round(statistics.median(times), 4)
+        if (
+            len(times) == target
+            and target < SHORT_QUERY_REPS
+            and statistics.median(times) < WARM_EXCLUDE_UNDER
+        ):
+            target = SHORT_QUERY_REPS
+    return {
+        "sec": round(statistics.median(times), 4),
+        "t": [round(x, 4) for x in times],
+        "w": warm,
+    }
 
 
 def _warm(spark, queries, sf_dir) -> None:
@@ -118,15 +143,49 @@ def _warm(spark, queries, sf_dir) -> None:
 
 
 def _run_queries(spark, names, queries, sf_dir):
-    """(timings, errors) — crash-isolated per query."""
+    """(timings, errors, reps) — crash-isolated per query."""
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    reps: dict[str, dict] = {}
     for name in names:
         try:
-            timings[name] = _time_one(spark, queries[name], sf_dir)
+            ans = _time_one(spark, queries[name], sf_dir)
+            timings[name] = ans["sec"]
+            reps[name] = {"t": ans["t"], "w": ans["w"]}
         except Exception as exc:  # noqa: BLE001 - record and continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-    return timings, errors
+    return timings, errors, reps
+
+
+def _machine_state() -> dict:
+    """Best-effort host-state snapshot recorded into the artifact so
+    cross-round absolute-total swings stop needing manual explanation
+    (round-12 verdict task 8): load average, live java process count
+    (a concurrent pytest/driver-sim JVM corrupts ratios 3-8x), and
+    host uptime."""
+    m: dict = {}
+    try:
+        m["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        n = 0
+        for p in os.listdir("/proc"):
+            if p.isdigit():
+                try:
+                    with open(f"/proc/{p}/comm") as fh:
+                        n += fh.read().strip() == "java"
+                except OSError:
+                    continue
+        m["java_procs"] = n
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as fh:
+            m["uptime_h"] = round(float(fh.read().split()[0]) / 3600, 1)
+    except (OSError, ValueError):
+        pass
+    return m
 
 
 #: Identical JVM heap on BOTH sides — the comparison must not hinge on
@@ -219,7 +278,7 @@ def _worker(cpus: str, sf_dir: str, kind: str) -> None:
         if not name:
             continue
         try:
-            out = {"name": name, "sec": _time_one(spark, queries[name], sf_dir)}
+            out = {"name": name, **_time_one(spark, queries[name], sf_dir)}
         except Exception as exc:  # noqa: BLE001
             out = {"name": name, "err": f"{type(exc).__name__}: {exc}"[:500]}
         print(json.dumps(out), flush=True)
@@ -343,19 +402,23 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": REPS,
+        "short_query_reps": SHORT_QUERY_REPS,
+        "machine": _machine_state(),
     }
+    ereps: dict[str, dict] = {}
+    vreps: dict[str, dict] = {}
 
     if vanilla:
         spark = _vanilla_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         _warm(spark, queries, sf_dir)
-        timings, errors = _run_queries(spark, names, queries, sf_dir)
+        timings, errors, ereps = _run_queries(spark, names, queries, sf_dir)
         spark.stop()
     elif not compare:
         spark = _engine_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         _warm(spark, queries, sf_dir)
-        timings, errors = _run_queries(spark, names, queries, sf_dir)
+        timings, errors, ereps = _run_queries(spark, names, queries, sf_dir)
         spark.stop()
     else:
         # Interleaved SYMMETRIC compare: engine AND vanilla each live
@@ -379,11 +442,13 @@ def main() -> None:
             ans = eng.ask(name)
             if "sec" in ans:
                 timings[name] = ans["sec"]
+                ereps[name] = {"t": ans.get("t"), "w": ans.get("w")}
             else:
                 errors[name] = ans["err"]
             ans = van.ask(name)
             if "sec" in ans:
                 vtimings[name] = ans["sec"]
+                vreps[name] = {"t": ans.get("t"), "w": ans.get("w")}
             else:
                 verrors[name] = ans["err"]
         eng.stop()
@@ -407,6 +472,17 @@ def main() -> None:
 
     result["value"] = round(sum(timings.values()), 4)
     result["queries"] = timings
+    # full per-rep record (side file): every timed rep + the excluded
+    # warm-up on both sides — the artifact itself shows WHICH rep
+    # class (first-plan spike, single GC outlier, uniform shift)
+    # produced any weak median, no manual re-bench needed
+    result["rep_detail"] = {
+        n: {
+            "engine": ereps.get(n),
+            **({"vanilla": vreps[n]} if n in vreps else {}),
+        }
+        for n in sorted(set(ereps) | set(vreps))
+    }
     if errors:
         result["errors"] = errors
     if compare:
@@ -424,9 +500,24 @@ def main() -> None:
         if rd:
             gm = round(math.exp(sum(math.log(r) for r in rd.values()) / len(rd)), 4)
             worst = sorted(rd.items(), key=lambda kv: kv[1])[:10]
+
+            def _worst_entry(n: str, r: float) -> dict:
+                out = {"q": n, "ratio": r}
+                # sub-0.9 entries carry BOTH sides' raw reps in the
+                # compact line: the driver artifact adjudicates its
+                # own weak rows (round-12 verdict task 2)
+                if r < 0.9 and n in ereps and n in vreps:
+                    out["e"] = [round(x, 2) for x in ereps[n]["t"] or []]
+                    out["v"] = [round(x, 2) for x in vreps[n]["t"] or []]
+                    if ereps[n].get("w") is not None:
+                        out["ew"] = round(ereps[n]["w"], 2)
+                    if vreps[n].get("w") is not None:
+                        out["vw"] = round(vreps[n]["w"], 2)
+                return out
+
             result["summary"] = {
                 "geomean": gm,
-                "worst": [{"q": n, "ratio": r} for n, r in worst],
+                "worst": [_worst_entry(n, r) for n, r in worst],
             }
 
     # Full-precision per-query detail goes to a SIDE file; stdout gets
@@ -457,6 +548,8 @@ def main() -> None:
             "vanilla_total",
             "geomean_speedup_vs_vanilla",
             "worker_respawns",
+            "short_query_reps",
+            "machine",
         )
         if k in result
     }
@@ -469,7 +562,7 @@ def main() -> None:
             n: e[:120] for n, e in result["vanilla_errors"].items()
         }
 
-    def _line(n_queries: int | None) -> str:
+    def _line(n_queries: int | None, full_summary: bool = True) -> str:
         c = dict(compact)
         qnames = sorted(timings, key=timings.get, reverse=True)
         if n_queries is not None and len(qnames) > n_queries:
@@ -485,10 +578,18 @@ def main() -> None:
             c["ratios_worst_first"] = {n: result["ratios"][n] for n in rnames}
         if "summary" in result:
             c["summary"] = result["summary"]
+            if not full_summary:  # last-resort trim: drop rep arrays
+                c["summary"] = {
+                    "geomean": result["summary"]["geomean"],
+                    "worst": [
+                        {"q": w["q"], "ratio": w["ratio"]}
+                        for w in result["summary"]["worst"]
+                    ],
+                }
         return json.dumps(c, separators=(",", ":"))
 
-    for budget in (None, 30, 12, 0):
-        line = _line(budget)
+    for budget, full in ((None, True), (30, True), (12, True), (12, False), (0, False)):
+        line = _line(budget, full)
         if len(line) <= line_cap:
             break
     print(line)

@@ -170,9 +170,11 @@ def extract_pixel_stats(
                 px = decode_pixels(bytes(b)).astype(np.int64).reshape(-1)
                 out["doc_id"].append(int(i))
                 out["n_px"].append(int(px.size))
-                out["px_sum"].append(int(px.sum()))
-                out["px_min"].append(int(px.min()))
-                out["px_max"].append(int(px.max()))
+                # a zero-pixel raster (0-width/height stream) yields
+                # null stats instead of raising inside the Arrow task
+                out["px_sum"].append(int(px.sum()) if px.size else None)
+                out["px_min"].append(int(px.min()) if px.size else None)
+                out["px_max"].append(int(px.max()) if px.size else None)
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(stats, PIXEL_STATS_SCHEMA)
@@ -240,6 +242,127 @@ def encode_png_gray16(raster, interlace: int = 1, filters=(0, 1, 2, 3, 4)) -> by
         + chunk(b"IDAT", zlib.compress(bytes(body)))
         + chunk(b"IEND", b"")
     )
+
+
+#: T.81 size-ordered AC symbol table shared by the fixture encoder:
+#: code index == symbol rank, so the DHT counts (162 symbols at 8
+#: bits) make every AC code exactly 8 bits — trivially decodable and
+#: trivially encodable.
+_JPEG_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+_JPEG_AC_CODE = {sym: i for i, sym in enumerate(_JPEG_AC_SYMS)}
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with T.81 B.1.1.5 byte stuffing."""
+
+    def __init__(self):
+        self.buf, self.acc, self.nb = bytearray(), 0, 0
+
+    def put(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.nb += 1
+            if self.nb == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc, self.nb = 0, 0
+
+    def flush(self) -> None:
+        while self.nb:
+            self.put(1, 1)
+
+
+def encode_jpeg_gray(raster, progressive: bool = False) -> bytes:
+    """Planted-fixture JPEG encoder: 8-bit GRAYSCALE, unit
+    quantization, fixed size-ordered Huffman tables; ``progressive``
+    emits SOF2 with a spectral-selection DC scan (Ss=Se=0) followed by
+    one full-band AC scan (Ss=1, Se=63), else SOF0 with one
+    interleaved DC+AC scan. Exists so a DRIVER-visible query
+    (plans/multimodal.py mm_jpeg_pixel_stats) can push deterministic
+    BLOCK-CONSTANT rasters — whose DC-only 8x8 blocks round-trip
+    EXACTLY through the lossy codec — through the real decoder
+    (:func:`_jpeg_pixels`: Huffman + dequant + IDCT + MCU crop) under
+    an arithmetic external oracle. The general color/sampling/restart
+    twin used by the pytest suite lives in tests/test_multimodal.py."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(raster, dtype=np.float64)
+    h, w = arr.shape
+    nbx, nby = -(-w // 8), -(-h // 8)
+    plane = np.pad(arr, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+    u = np.arange(8)
+    A = 0.5 * np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
+    A[0] /= np.sqrt(2.0)
+    zz = list(_JPEG_ZZ)
+    coefs = np.zeros((nby, nbx, 64), np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coefs[by, bx] = np.rint(A @ (blk - 128.0) @ A.T).reshape(-1)[zz]
+
+    def put_dc(bw: _JpegBitWriter, diff: int) -> None:
+        s = abs(diff).bit_length()
+        bw.put(s, 4)  # DC code == symbol == size (size-ordered DHT)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+    def put_ac(bw: _JpegBitWriter, vec) -> None:
+        run = 0
+        for k in range(1, 64):
+            v = int(vec[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(_JPEG_AC_CODE[0xF0], 8)
+                run -= 16
+            s = abs(v).bit_length()
+            bw.put(_JPEG_AC_CODE[(run << 4) | s], 8)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            bw.put(_JPEG_AC_CODE[0x00], 8)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dht = (
+        b"\x00" + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+        + b"\x10" + bytes([0] * 7 + [162] + [0] * 8) + bytes(_JPEG_AC_SYMS)
+    )
+    sof = b"\x08" + struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+    out = (
+        b"\xff\xd8" + seg(0xDB, b"\x00" + bytes([1] * 64)) + seg(0xC4, dht)
+        + seg(0xC2 if progressive else 0xC0, sof)
+    )
+    order = [divmod(i, nbx) for i in range(nbx * nby)]
+    if progressive:
+        bw, pred = _JpegBitWriter(), 0
+        for by, bx in order:
+            dc = int(coefs[by, bx, 0])
+            put_dc(bw, dc - pred)
+            pred = dc
+        bw.flush()
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes(bw.buf)
+        bw = _JpegBitWriter()
+        for by, bx in order:
+            put_ac(bw, coefs[by, bx])
+        bw.flush()
+        out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0])) + bytes(bw.buf)
+    else:
+        bw, pred = _JpegBitWriter(), 0
+        for by, bx in order:
+            vec = coefs[by, bx]
+            dc = int(vec[0])
+            put_dc(bw, dc - pred)
+            pred = dc
+            put_ac(bw, vec)
+        bw.flush()
+        out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])) + bytes(bw.buf)
+    return out + b"\xff\xd9"
 
 
 #: Output schema of decode_image.

@@ -71,60 +71,45 @@ def load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # NEVER driver-verified first (rotation policy): the 2 round-11
-    # late registrations (commit 834b688, after the r11 window froze) —
-    # driver-verifying these closes the union of CORRECTNESS_r01..r12
-    # back to 100% of registered queries (round-11 verdict item 2).
-    "dsv27_q72",
-    "dsv27_q77a",
-    # PLAN-CHANGED rows next: events_gapfill's explode now rides a
-    # non-elidable guard repartition (events.py, r11 fix — newest
-    # driver row predates the fix); emb_semdedup's cell count is now
-    # corpus-derived (r12 fix for the fixed-k superlinear finding).
-    "events_gapfill",
-    "emb_semdedup",
     # NEW this round, registered BEFORE the window froze (the r10/r11
-    # late-registration lesson): the driver-proven PNG decode path
-    # (16-bit + Adam7 + all filters vs an arithmetic oracle).
-    "mm_png_pixel_stats",
-    # STALEST evidence next: the full r06 cohort (26 rows, last green
-    # 6 rounds ago).
-    "doc_chunks", "doc_contamination", "doc_curation_pipeline",
-    "doc_neardup_components", "doc_quota_sample", "doc_repetition",
-    "doc_tfidf_topterms", "doc_train_split", "doc_word_pmi",
-    "ds_bestcust_freqitem", "ds_month_flag_pivot", "ds_moving_rank",
-    "ds_return_outliers", "ds_returns_cov", "ds_ship_ratio_band",
-    "emb_quantize",
-    "events_cohort_retention", "events_markov", "events_zscore",
-    "expr_datetime", "expr_map",
-    "q2",
-    "rel_approx_agg", "rel_pivot", "rel_semi_anti", "rel_unpivot",
-    # ... then 19 of the 46-row r07 cohort (diverse families; the
-    # remaining 27 r07 rows rotate in next round) — after this window
-    # no row's newest green is older than r07.
-    "bkt_colocated_join", "orc_ssb2_1",
-    "doc_bloom_contamination", "doc_chunk_dedup",
-    "doc_cms_heavyhitters", "doc_pii_scrub",
-    "ds_band_distinct", "ds_dual_rank", "ds_lochierarchy",
-    "emb_kmeans", "emb_pq",
-    "events_decay", "events_ohlc", "events_scd2",
-    # the stalest mm_ row (r10) keeps the per-family invariant (the
-    # r06 cohort spans every other family)
-    "mm_blob_stats",
-    "rel_merge_upsert", "rel_trade_pagerank", "rel_window_cntd",
+    # late-registration lesson): the driver-proven JPEG decode path
+    # (baseline SOF0 + progressive SOF2 block-constant fixtures vs an
+    # arithmetic oracle — round-12 verdict item 6, the PNG analog).
+    "mm_jpeg_pixel_stats",
+    # STALEST evidence next: the full 28-row r07 cohort, exactly the
+    # rotation precomputed at r12 close — after this window no row's
+    # newest green is older than r08.
+    "doc_cluster_dedup", "doc_dup_ngram_coverage", "doc_hash_embed",
+    "doc_mixture_sample", "doc_pack_sequences", "doc_rarity",
+    "ds_best_worst", "ds_channel_anti", "ds_channel_overlap",
+    "ds_cum_fullouter", "ds_demo_exists", "ds_growth_chain",
+    "ds_join_chain", "ds_latency_pivot", "ds_multichannel_profit",
+    "ds_or_bands", "ds_returns_adjust", "ds_rev_histogram",
+    "ds_time_bands", "emb_hard_negatives", "events_rfm",
+    "events_streak", "expr_url", "rel_bitmap_distinct",
+    "rel_exact_percentiles", "rel_hll_union", "rel_open_intervals",
+    "rel_regression",
+    # ... then 20 of the 46-row r08 cohort (diverse families: all 11
+    # r08 TPC-H rows, one SSB representative, and the 8 non-benchmark
+    # r08 rows; the 26 remaining r08 rows — dstext/sqltext replays and
+    # the other ssb variants — rotate in next round).
+    "doc_minhash_neardup", "ds_brand_month",
+    "emb_ivf_search", "emb_ivfpq_search",
+    "events_asof_join", "expr_hash_native",
+    "q3", "q5", "q6", "q8", "q9", "q11", "q16", "q18", "q19", "q21", "q22",
+    "rel_rollup", "rel_zorder_scan",
+    "ssb1_1",
 )
-# Round-13 rotation plan (computed at r12 close so next round starts
+# Round-14 rotation plan (computed at r13 close so next round starts
 # with the choreography done): assuming this window goes green, the
-# r07-stale cohort will be these 28 rows — front them, then fill with
-# the stalest r08 rows; register any NEW queries before re-freezing.
-#   doc_cluster_dedup doc_dup_ngram_coverage doc_hash_embed
-#   doc_mixture_sample doc_pack_sequences doc_rarity ds_best_worst
-#   ds_channel_anti ds_channel_overlap ds_cum_fullouter ds_demo_exists
-#   ds_growth_chain ds_join_chain ds_latency_pivot
-#   ds_multichannel_profit ds_or_bands ds_returns_adjust
-#   ds_rev_histogram ds_time_bands emb_hard_negatives events_rfm
-#   events_streak expr_url rel_bitmap_distinct rel_exact_percentiles
-#   rel_hll_union rel_open_intervals rel_regression
+# stalest cohort will be the 26 remaining r08 rows — front them, then
+# fill with the stalest r09 rows; register any NEW queries before
+# re-freezing.
+#   dstext_q10 dstext_q19 dstext_q3 dstext_q34 dstext_q42 dstext_q43
+#   dstext_q46 dstext_q52 dstext_q55 dstext_q68 dstext_q73 dstext_q79
+#   dstext_ss_max sqltext_q18 sqltext_q5 sqltext_q9 sqltext_ssb1_1
+#   sqltext_ssb2_1 sqltext_ssb4_2 ssb1_3 ssb2_1 ssb2_3 ssb3_1 ssb3_4
+#   ssb4_1 ssb4_3
 
 #: Window entries with NO DuckDB oracle. Empty since round 8:
 #: expr_hash_native — the last rows-only entry — now carries a VALUES

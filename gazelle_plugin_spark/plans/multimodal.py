@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from gazelle_plugin_spark.operators.multimodal import (
     attach_blob,
+    encode_jpeg_gray,
     encode_png_gray16,
     extract_byte_features,
     extract_pixel_stats,
@@ -170,3 +171,77 @@ def mm_png_pixel_stats(spark, sf_dir):
         rows.append((d, bytearray(encode_png_gray16(raster))))
     blobs = spark.createDataFrame(rows, "doc_id long, blob binary")
     return extract_pixel_stats(blobs).orderBy("doc_id")
+
+
+#: mm_jpeg_pixel_stats fixture geometry: 20x13 is a non-multiple of 8
+#: on both axes (3x2 block grid + MCU edge padding the decoder must
+#: crop); 8 blobs alternate baseline / progressive streams. Pixel
+#: value is BLOCK-constant — (41*doc_id + 61*(x//8) + 97*(y//8)) mod
+#: 256 — because a constant 8x8 block is DC-only under the DCT and
+#: round-trips EXACTLY through unit quantization, which is what makes
+#: a lossy codec externally oracle-checkable.
+JPEG_W, JPEG_H, JPEG_DOCS = 20, 13, 8
+
+
+@query(
+    "mm_jpeg_pixel_stats",
+    oracle=f"""
+WITH ids AS (SELECT UNNEST(generate_series(0, {JPEG_DOCS - 1})) AS doc_id),
+px AS (
+  SELECT ids.doc_id,
+         (41 * ids.doc_id + 61 * (xs.x // 8) + 97 * (ys.y // 8)) % 256 AS v
+  FROM ids,
+       (SELECT UNNEST(generate_series(0, {JPEG_W - 1})) AS x) xs,
+       (SELECT UNNEST(generate_series(0, {JPEG_H - 1})) AS y) ys
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'baseline' ELSE 'progressive' END AS codec,
+       CAST(COUNT(*) AS INT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def mm_jpeg_pixel_stats(spark, sf_dir):
+    """END-TO-END JPEG decode through the driver gate (the PNG
+    analog, round-12 verdict item 6): plant 8 deterministic grayscale
+    JPEGs — even doc_ids as BASELINE (SOF0, interleaved DC+AC scan),
+    odd as PROGRESSIVE (SOF2, spectral-selection DC scan + full-band
+    AC scan) — decode them with the REAL entropy/IDCT decoder
+    (operators/multimodal.py _jpeg_pixels: Huffman decode, dequant,
+    IDCT, MCU-padding crop) inside an Arrow-batched mapInPandas, and
+    reduce each raster to exact integer stats. Pixel values are
+    block-constant so every 8x8 block is DC-only and survives the
+    lossy transform bit-exactly; the DuckDB oracle re-derives the
+    stats from the pixel FORMULA, so any error in either scan
+    choreography, the DC predictor, dequantization, or the edge-block
+    crop shifts px_sum and fails the hash compare. This promotes the
+    JPEG decode path from pytest-only evidence to driver-proven.
+
+    Scale shape: fixture is driver-built (8 tiny blobs) but the
+    pipeline is the production one — binary column -> mapInPandas
+    decode per Arrow batch -> columnar stats. sf_dir is unused: the
+    planted rasters ARE the dataset (same contract at every scale)."""
+    import numpy as np
+
+    rows = []
+    for d in range(JPEG_DOCS):
+        y, x = np.mgrid[0:JPEG_H, 0:JPEG_W]
+        raster = ((41 * d + 61 * (x // 8) + 97 * (y // 8)) % 256).astype(np.uint8)
+        rows.append((d, bytearray(encode_jpeg_gray(raster, progressive=bool(d % 2)))))
+    blobs = spark.createDataFrame(rows, "doc_id long, blob binary")
+    return (
+        extract_pixel_stats(blobs)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("baseline"))
+            .otherwise(F.lit("progressive"))
+            .alias("codec"),
+            "n_px",
+            "px_sum",
+            "px_min",
+            "px_max",
+        )
+        .orderBy("doc_id")
+    )

@@ -879,23 +879,32 @@ def test_wrap_udf_args_balanced_and_nested():
     # word boundary: a function merely ENDING in 'udf' is not wrapped
     assert g.wrap_udf_args("SELECT myudf(a) FROM t") == "SELECT myudf(a) FROM t"
     assert g.wrap_udf_args("SELECT a FROM t") == "SELECT a FROM t"
+    # parens inside QUOTED literals do not shift the argument span
+    assert (
+        g.wrap_udf_args("SELECT udf(concat(a, '(x')) FROM t")
+        == "SELECT udf(CAST(concat(a, '(x') AS STRING)) FROM t"
+    )
+    assert (
+        g.wrap_udf_args("SELECT udf(')') FROM t")
+        == "SELECT udf(CAST(')' AS STRING)) FROM t"
+    )
 
 
 def test_udf_string_relax_parses_by_golden_type():
     """String outputs parse with the golden column's type; columns the
     relaxation cannot reconcile (double vs bigint) leave the row
     untouched so the normal compare still fails loudly."""
-    got, st = g.udf_string_relax([("7", 1)], ["string", "int"], ["bigint", "int"])
-    assert got == [(7, 1)] and st == ["bigint", "int"]
+    got, st, rx = g.udf_string_relax([("7", 1)], ["string", "int"], ["bigint", "int"])
+    assert got == [(7, 1)] and st == ["bigint", "int"] and rx == [0]
     # unparseable string -> unchanged (real mismatch surfaces)
-    got, st = g.udf_string_relax([("4.0",)], ["string"], ["bigint"])
-    assert got == [("4.0",)] and st == ["string"]
+    got, st, rx = g.udf_string_relax([("4.0",)], ["string"], ["bigint"])
+    assert got == [("4.0",)] and st == ["string"] and rx == []
     # non-string live type is never coerced
-    got, st = g.udf_string_relax([(4.0,)], ["double"], ["bigint"])
-    assert got == [(4.0,)] and st == ["double"]
+    got, st, rx = g.udf_string_relax([(4.0,)], ["double"], ["bigint"])
+    assert got == [(4.0,)] and st == ["double"] and rx == []
     # arity mismatch -> untouched
-    got, st = g.udf_string_relax([("7",)], ["string"], ["bigint", "int"])
-    assert got == [("7",)] and st == ["string"]
+    got, st, rx = g.udf_string_relax([("7",)], ["string"], ["bigint", "int"])
+    assert got == [("7",)] and st == ["string"] and rx == []
 
 
 def test_explain_normalize_masks():
