@@ -39,7 +39,16 @@ ENGINE_CONFS: dict[str, str] = {
     # broadcast when small, shuffled-hash over sort-merge when one side
     # is per-partition-buildable. SMJ still kicks in for huge inputs.
     "spark.sql.join.preferSortMergeJoin": "false",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # AUTO-broadcast threshold stays at Spark's battle-tested 10 MB.
+    # Round 13 measured the previously-raised 64 MB profile at sf1:
+    # it auto-broadcast the 26 MB-parquet orders table (1.5M rows,
+    # ~10x that deserialized) and q3/q4/q5/q18 ran ~2x SLOWER than
+    # with 10 MB (fresh-JVM conf bisect, SCALE.md round-13) — and at
+    # 1000 executors a >10 MB broadcast is a driver fan-out storm.
+    # Known-small dims keep explicit F.broadcast hints in the plans,
+    # which bypass this threshold; AQE still upgrades runtime-small
+    # sides. (Threshold set explicitly so the decision is visible.)
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     # Columnar batch sizing per reference docs/performance.md
     # ("Columnar Batch size": 20480).
     "spark.sql.parquet.columnarReaderBatchSize": "20480",

@@ -382,6 +382,89 @@ def test_salted_join_spreads_hot_key(spark):
     assert salted_join(left, right, "k", "rk", salt=8).count() == 1000
 
 
+def _heaviest_stage_read_records(spark, df) -> tuple[float, float]:
+    """(p50, max) shuffle-read RECORDS per task of the heaviest reduce
+    stage after fully evaluating df — the deterministic skew signal
+    (task wall times bounce with scheduler noise at local[32]; the row
+    counts each task pulls are a pure function of the partitioning)."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def rest(path):
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}{path}", timeout=10
+        ) as r:
+            return _json.loads(r.read())
+
+    before = {
+        (s["stageId"], s["attemptId"]) for s in rest("/stages?status=complete")
+    }
+    df.selectExpr("sum(hash(*)) as h").collect()
+    new = [
+        s
+        for s in rest("/stages?status=complete")
+        if (s["stageId"], s["attemptId"]) not in before
+    ]
+    top = max(new, key=lambda s: s.get("shuffleReadBytes", 0))
+    q = rest(
+        f"/stages/{top['stageId']}/{top['attemptId']}/taskSummary"
+        "?quantiles=0.5,1.0"
+    )
+    rr = q["shuffleReadMetrics"]["readRecords"]
+    return rr[0], rr[1]
+
+
+def test_salted_join_bounds_task_spread_where_plain_does_not(spark):
+    """The measured skew posture (SCALE.md round-13 / SURVEY.md §4#6
+    OptimizeSkewedJoin analog): on a 90%-hot-key fact joined to a
+    non-broadcastable dim with AQE's rescue disabled (the static-plan
+    regime a 100 TB job is in when thresholds miss), the PLAIN shuffle
+    join funnels the whole hot key into ONE task — max task reads
+    ~90% of the fact — while salted_join caps any task at roughly
+    hot/salt + the replicated-dim share. Asserted on per-task
+    shuffle-read records from the UI REST taskSummary."""
+    from gazelle_plugin_spark.operators.exchange import salted_join
+
+    hot = 180_000
+    fact = spark.range(0, 200_000).selectExpr(
+        "case when id % 10 < 9 then 7L else 8 + (id % 1000) end as k",
+        "id as payload",
+    )
+    dim = spark.range(0, 20_000).selectExpr(
+        "id as rk", "concat('dim_', id % 97) as label"
+    )
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _, plain_max = _heaviest_stage_read_records(
+            spark, fact.join(dim, fact.k == dim.rk, "inner")
+        )
+        _, salted_max = _heaviest_stage_read_records(
+            spark, salted_join(fact, dim, "k", "rk", salt=16)
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    # plain: the hot key's rows all land in one task
+    assert plain_max >= 0.85 * hot, plain_max
+    # salted: no task carries even HALF the hot key (the exact share
+    # depends on how the 16 (key,salt) buckets and the replicated dim
+    # hash-clump into 32 partitions — measured ~77k of the 520k total
+    # reduce-side records, i.e. ~0.43x hot vs plain's 1.0x+)
+    assert salted_max <= 0.5 * hot, salted_max
+    assert salted_max < plain_max / 2, (salted_max, plain_max)
+
+
 def test_merge_upsert_partitions_the_keyspace(spark):
     """Merge audit invariants: keep/update/insert counts partition
     (base + inserts) exactly by the key-mod rule, and the update
