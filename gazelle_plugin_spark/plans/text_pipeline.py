@@ -495,12 +495,53 @@ def doc_incremental_dedup(spark, sf_dir):
     )
 
 
-#: n-gram Jaccard join: shingles seen in more than this many docs are
+#: n-gram Jaccard join: shingles seen in more than DF-cap docs are
 #: "stop-shingles" — excluded from CANDIDATE generation (they would
 #: dominate the self-join's sum-of-df^2 cost) but still counted in the
 #: exact verify. A J>=0.8 pair shares ~89% of shingles, virtually all
 #: rare, so recall is unaffected (pytest pins it against MinHash).
+#:
+#: The cap SCALES DOWN with corpus size (round-13 verdict task 1):
+#: with a FIXED cap the corpus's df distribution fills the [2, cap]
+#: band as it grows — every surviving shingle's C(df, 2) pair term
+#: grows with the square of its posting list — and the measured wall
+#: went x5.16 at x3 data (sf1->sf3, SCALE.md round-13) while shuffle
+#: stayed sublinear: pure CPU-side pair verification. The rule
+#:     cap(N) = clamp(ceil(sqrt(BUDGET / N)), MIN, MAX)
+#: holds the worst-case candidate count sum_s C(cap, 2) * |shingles|
+#: ~ N * cap^2 at a CONSTANT ~BUDGET pair budget, so verify work stays
+#: linear in corpus bytes. At the 5k-doc reference corpus (sf0.1) the
+#: cap is the historical 20; at 50k docs it is 7; at 150k docs, 4 —
+#: "capped far more aggressively than the local default", exactly the
+#: 100 TB posture. Recall: a J>=0.8 pair is generated iff ONE of its
+#: rarest-first prefix shingles has df <= cap; planted near-dup pairs
+#: share pair-local shingles at df~2, so the floor is unchanged
+#: (re-derived at the aggressive cap in tests/test_pipelines.py).
+#: Dup CLUSTERS wider than the cap are MinHash banding's territory
+#: (doc_minhash_neardup caps buckets, not candidates' existence).
 NGRAM_DF_MAX = 20
+NGRAM_DF_MIN = 4
+#: BUDGET = MAX^2 * 5000 reference docs: cap hits MAX exactly at the
+#: driver corpus scale, so sf0.01/sf0.1 plans are unchanged.
+NGRAM_DF_BUDGET = NGRAM_DF_MAX * NGRAM_DF_MAX * 5000
+
+#: SQL twin of the cap rule (DuckDB + Spark agree: exact double
+#: division, correctly-rounded IEEE sqrt, ceil of a non-boundary
+#: value; at the one oracle scale, sf0.01/N=500, sqrt(4000)=63.24
+#: sits far from an integer boundary).
+_SQL_DF_CAP = (
+    f"LEAST({NGRAM_DF_MAX}, GREATEST({NGRAM_DF_MIN}, "
+    f"CAST(CEIL(SQRT({NGRAM_DF_BUDGET}.0 / COUNT(*))) AS INT)))"
+)
+
+
+def ngram_df_cap(n_docs: int) -> int:
+    """Pure-Python twin of the scaled DF cap (unit-pinned in
+    tests/test_pipelines.py at the measured regimes: 500 -> 20,
+    5000 -> 20, 50000 -> 7, 150000 -> 4)."""
+    import math as _math
+
+    return max(NGRAM_DF_MIN, min(NGRAM_DF_MAX, _math.ceil(_math.sqrt(NGRAM_DF_BUDGET / n_docs))))
 
 #: Prefix-filter length for Jaccard >= 0.8 (Chaudhuri/Bayardo
 #: set-similarity-join prefix principle): two sets with J >= t MUST
@@ -515,6 +556,7 @@ _SQL_PREFIX_LEN = "(n - (4 * n + 4) // 5 + 1)"
     "doc_ngram_jaccard",
     oracle=f"""
 WITH sh AS ({_SQL_SHINGLES}),
+params AS (SELECT {_SQL_DF_CAP} AS df_cap FROM documents),
 df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
 ranked AS (
   SELECT sh.doc_id, sh.s, df.df,
@@ -523,12 +565,14 @@ ranked AS (
   FROM sh JOIN df ON sh.s = df.s
 ),
 prefix AS (
-  SELECT doc_id, s FROM ranked
-  WHERE rn <= {_SQL_PREFIX_LEN} AND df <= {NGRAM_DF_MAX}
+  SELECT doc_id, s, n FROM ranked, params
+  WHERE rn <= {_SQL_PREFIX_LEN} AND df <= params.df_cap
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND a.n * 4 <= b.n * 5 AND b.n * 4 <= a.n * 5
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -559,17 +603,45 @@ def doc_ngram_jaccard(spark, sf_dir):
     that prefix feeds the self-join. Round-2's df-cap-only pruning
     produced 1.1M candidates for 256 true pairs at sf0.1 (the
     verify join dominated); the prefix filter is the structural fix —
-    candidates now grow with true-pair density, not corpus size. The
-    df <= {NGRAM_DF_MAX} guard additionally bounds every join bucket.
-    NO false negatives among pairs whose prefixes hold >= 1
-    sub-DF_MAX shingle (at J >= 0.8, all planted pairs — pinned
-    against MinHash recall in tests/test_pipelines.py)."""
+    candidates now grow with true-pair density, not corpus size.
+
+    Two candidate bounds on top of the prefix (round-13 verdict
+    task 1, the DF-cap scaling rule):
+    - df <= ngram_df_cap(N): the stop-shingle cap SCALES with corpus
+      size (see NGRAM_DF_BUDGET) so sum-of-C(df,2) verify work stays
+      linear in corpus bytes — the fixed cap measured x5.16 wall at
+      x3 data. The cap is computed IN-PLAN from a broadcast 1-row
+      COUNT(*) aggregate, so the query stays lazy and the oracle
+      computes the identical value.
+    - the ppjoin LENGTH filter 4*max(n1,n2) <= 5*min(n1,n2): EXACT
+      for J >= 0.8 (|A^B| <= min and |A^B| >= 0.8*max force
+      5*min >= 4*max), so it drops only provably-sub-threshold pairs.
+    NO false negatives among pairs whose prefixes hold >= 1 sub-cap
+    shingle (at J >= 0.8, all planted pairs — pinned against MinHash
+    recall at the default AND the aggressive cap in
+    tests/test_pipelines.py)."""
     # the shingle set feeds five plan branches; measured at sf0.1,
     # recomputing the (cheap, codegen'd) explosion per branch beats a
     # .persist() barrier — caching blinds AQE's runtime replanning. At
     # 100 TB the shingle set is the natural checkpoint candidate; that
     # choice belongs to the caller (sources/io.py cache_columnar).
     sh = _shingles(spark, sf_dir)
+    # corpus-scaled DF cap as a broadcast 1-row aggregate: lazy, one
+    # metadata-cheap COUNT(*), identical arithmetic to the oracle's
+    # params CTE (exact division + IEEE sqrt/ceil)
+    cap = F.broadcast(
+        t(spark, sf_dir, "documents").agg(
+            F.least(
+                F.lit(NGRAM_DF_MAX),
+                F.greatest(
+                    F.lit(NGRAM_DF_MIN),
+                    F.ceil(
+                        F.sqrt(F.lit(float(NGRAM_DF_BUDGET)) / F.count(F.lit(1)))
+                    ).cast("int"),
+                ),
+            ).alias("df_cap")
+        )
+    )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
     w_size = Window.partitionBy("doc_id")
@@ -578,16 +650,23 @@ def doc_ngram_jaccard(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w_rank))
         .withColumn("n", F.count(F.lit(1)).over(w_size))
     )
-    prefix = ranked.filter(
-        (F.col("rn") <= F.expr(_SQL_PREFIX_LEN.replace("//", "div")))
-        & (F.col("df") <= NGRAM_DF_MAX)
-    ).select("doc_id", "s")
+    prefix = (
+        ranked.crossJoin(cap)
+        .filter(
+            (F.col("rn") <= F.expr(_SQL_PREFIX_LEN.replace("//", "div")))
+            & (F.col("df") <= F.col("df_cap"))
+        )
+        .select("doc_id", "s", "n")
+    )
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # ppjoin length filter: exact at J >= 0.8
+            & (F.col("a.n") * 4 <= F.col("b.n") * 5)
+            & (F.col("b.n") * 4 <= F.col("a.n") * 5),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()

@@ -71,10 +71,21 @@ def test_minhash_finds_planted_neardups(spark):
 
 def test_ngram_jaccard_no_all_pairs(spark):
     """DF-pruned inverted-index join: candidates come from an equi-join
-    on the shingle, never a cartesian."""
+    on the shingle, never a cartesian. The ONE tolerated
+    BroadcastNestedLoopJoin is the 1-row broadcast df_cap aggregate
+    (the corpus-scaled cap rule) — a scalar fan-out, not a pair
+    explosion."""
     plan = _plan(spark, "doc_ngram_jaccard")
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # prefix (and its cap fan-out) appears on BOTH sides of the
+    # candidate self-join, so at most two scalar BNLJ nodes — and
+    # every one must be the df_cap broadcast, nothing else
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj) <= 2 and all("df_cap" in ln for ln in bnlj), plan
+    # the candidate self-join itself must still be a hash/merge equi-join
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
 
 
 def test_ngram_jaccard_superset_of_minhash(spark):
@@ -85,6 +96,37 @@ def test_ngram_jaccard_superset_of_minhash(spark):
     exact = {(r.d1, r.d2) for r in QUERIES["doc_ngram_jaccard"](spark, SF_MED).collect()}
     mh = {(r.d1, r.d2) for r in QUERIES["doc_minhash_neardup"](spark, SF_MED).collect()}
     assert mh <= exact, f"minhash found pairs the exact join missed: {mh - exact}"
+    assert len(exact) >= 10
+
+
+def test_ngram_df_cap_schedule():
+    """The corpus-scaled DF cap (round-13 verdict task 1), pinned at
+    the measured regimes: driver scales keep the historical 20 (plans
+    and oracle unchanged at sf0.01/sf0.1); the local scale study's
+    50k/150k-doc corpora get 7/4; the floor holds below that."""
+    from gazelle_plugin_spark.plans.text_pipeline import ngram_df_cap
+
+    assert ngram_df_cap(500) == 20  # sf0.01 (oracle scale)
+    assert ngram_df_cap(5000) == 20  # sf0.1 (driver bench scale)
+    assert ngram_df_cap(50_000) == 7  # .scale/sf1
+    assert ngram_df_cap(150_000) == 4  # .scale/sf3
+    assert ngram_df_cap(10_000_000) == 4  # floor: 100 TB posture
+
+
+def test_ngram_jaccard_recall_at_aggressive_cap(spark, monkeypatch):
+    """Recall floor RE-DERIVED at the floor cap (round-13 verdict
+    task 1's 'or the floor must be re-derived'): force the in-plan
+    cap to NGRAM_DF_MIN=4 at sf0.01 (budget -> 1 makes sqrt clamp to
+    the floor) and require the exact join still to contain every
+    MinHash-surfaced pair — planted near-dup pairs share pair-local
+    (df~2) shingles, which survive any cap >= 2 in the rarest-first
+    prefix."""
+    from gazelle_plugin_spark.plans import text_pipeline as tp
+
+    monkeypatch.setattr(tp, "NGRAM_DF_BUDGET", 1)
+    exact = {(r.d1, r.d2) for r in QUERIES["doc_ngram_jaccard"](spark, SF_MED).collect()}
+    mh = {(r.d1, r.d2) for r in QUERIES["doc_minhash_neardup"](spark, SF_MED).collect()}
+    assert mh <= exact, f"aggressive cap lost pairs: {mh - exact}"
     assert len(exact) >= 10
 
 

@@ -49,6 +49,10 @@ BNLJ_ALLOWED = {
     "doc_word_pmi",
     # 1-row global max-day aggregate broadcast against the stream
     "events_decay",
+    # 1-row corpus-size COUNT(*) aggregate broadcast as the
+    # corpus-scaled DF cap (round-14; test_pipelines pins that every
+    # BNLJ node in this plan is the df_cap scalar)
+    "doc_ngram_jaccard",
     # 1-row exact-total x 1-row union-sketch scalar combine
     "rel_hll_union",
     # k broadcast centroid rows joined to every point (argmin over k)
