@@ -24,6 +24,14 @@ artifact): every query runs under try/except; failures land in
 "errors": {name: message} and the run continues. The JSON always
 prints.
 
+Self-adjudication (round-13 verdict task 2): after a compare run,
+every ratio under $SPARK_GRAFT_BENCH_ADJ_UNDER (default 0.7, worst
+first, at most $SPARK_GRAFT_BENCH_ADJ_MAX=4) is re-measured in
+isolated fresh JVMs — one side at a time, never co-tenant — and the
+verdict (machine-state / borderline / confirmed-weak) is recorded in
+an "adjudications" block, so no sub-threshold row leaves the round
+unexplained by the artifact itself.
+
 The headline set is the 22 TPC-H-derived queries (matching
 BENCH_r01.json and the reference's Decision Support Benchmark1) PLUS
 the LLM-pipeline operators (PIPELINE_BENCH) — the ops whose 100 TB
@@ -368,6 +376,50 @@ class _WorkerHandle:
         return {"err": err}
 
 
+#: Compare-mode ratios below this trigger END-OF-RUN self-adjudication
+#: (round-13 verdict task 2): the r13 driver artifact carried q7 at
+#: 0.548 with uniform reps that fresh-JVM re-measurement refuted
+#: (machine-state: load1=1.85 at record time). Now the artifact
+#: adjudicates itself — each sub-threshold query is re-measured in
+#: ISOLATED fresh JVMs (one per side, sequential, never co-tenant)
+#: and the verdict lands in an "adjudications" block.
+ADJUDICATE_UNDER = float(os.environ.get("SPARK_GRAFT_BENCH_ADJ_UNDER", "0.7"))
+ADJUDICATE_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_ADJ_MAX", "4"))
+
+
+def _adjudicate(names: list[str], rd: dict[str, float]) -> dict:
+    """Re-measure each suspect query pair in fresh, isolated JVMs
+    (engine then vanilla, sequentially — the interleaved session's
+    worker-JVM aging and host load are exactly what's on trial) and
+    classify: machine-state (fresh ratio >= 0.9), confirmed-weak
+    (still < threshold), or borderline."""
+    out: dict[str, dict] = {}
+    for name in names:
+        entry: dict = {"ratio": rd[name]}
+        sides: dict[str, dict] = {}
+        for kind in ("engine", "vanilla"):
+            h = _WorkerHandle(kind)
+            sides[kind] = h.ask(name)
+            h.stop()
+        e, v = sides["engine"], sides["vanilla"]
+        if "sec" in e and "sec" in v:
+            fr = round(v["sec"] / e["sec"], 3)
+            entry["fresh_ratio"] = fr
+            entry["e"] = [round(x, 2) for x in e.get("t") or []]
+            entry["v"] = [round(x, 2) for x in v.get("t") or []]
+            entry["verdict"] = (
+                "machine-state"
+                if fr >= 0.9
+                else "confirmed-weak"
+                if fr < ADJUDICATE_UNDER
+                else "borderline"
+            )
+        else:
+            entry["err"] = (e.get("err") or v.get("err") or "no measurement")[:200]
+        out[name] = entry
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -412,7 +464,10 @@ def main() -> None:
         spark = _vanilla_session(cpus)
         spark.sparkContext.setLogLevel("ERROR")
         _warm(spark, queries, sf_dir)
-        timings, errors, ereps = _run_queries(spark, names, queries, sf_dir)
+        # reps land in vreps so rep_detail labels them "vanilla", not
+        # "engine" (round-13 advice: a vanilla-only artifact must not
+        # mislabel its side)
+        timings, errors, vreps = _run_queries(spark, names, queries, sf_dir)
         spark.stop()
     elif not compare:
         spark = _engine_session(cpus)
@@ -478,7 +533,7 @@ def main() -> None:
     # produced any weak median, no manual re-bench needed
     result["rep_detail"] = {
         n: {
-            "engine": ereps.get(n),
+            **({"engine": ereps[n]} if n in ereps else {}),
             **({"vanilla": vreps[n]} if n in vreps else {}),
         }
         for n in sorted(set(ereps) | set(vreps))
@@ -497,6 +552,14 @@ def main() -> None:
         result["ratios"] = dict(
             sorted(rd.items(), key=lambda kv: kv[1], reverse=True)
         )
+        # end-of-run self-adjudication of sub-threshold rows (worst
+        # first, bounded): no sub-0.7 row leaves the round unexplained
+        # by the artifact itself
+        suspects = [
+            n for n, r in sorted(rd.items(), key=lambda kv: kv[1]) if r < ADJUDICATE_UNDER
+        ][:ADJUDICATE_MAX]
+        if suspects:
+            result["adjudications"] = _adjudicate(suspects, rd)
         if rd:
             gm = round(math.exp(sum(math.log(r) for r in rd.values()) / len(rd)), 4)
             worst = sorted(rd.items(), key=lambda kv: kv[1])[:10]
@@ -550,6 +613,7 @@ def main() -> None:
             "worker_respawns",
             "short_query_reps",
             "machine",
+            "adjudications",
         )
         if k in result
     }
@@ -586,6 +650,11 @@ def main() -> None:
                         for w in result["summary"]["worst"]
                     ],
                 }
+        if not full_summary and "adjudications" in c:
+            c["adjudications"] = {
+                n: {k: v for k, v in a.items() if k not in ("e", "v")}
+                for n, a in c["adjudications"].items()
+            }
         return json.dumps(c, separators=(",", ":"))
 
     for budget, full in ((None, True), (30, True), (12, True), (12, False), (0, False)):
