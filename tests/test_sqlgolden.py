@@ -911,6 +911,18 @@ def test_wrap_udf_args_balanced_and_nested():
         g.wrap_udf_args("SELECT udf(')') FROM t")
         == "SELECT udf(CAST(')' AS STRING)) FROM t"
     )
+    # backslash-escaped quote INSIDE a literal must not end the quote
+    # span (round-13 advice): the ')' after \' is still inside the
+    # string, so the argument span stays balanced
+    assert (
+        g.wrap_udf_args(r"SELECT udf('a\')b') FROM t")
+        == r"SELECT udf(CAST('a\')b' AS STRING)) FROM t"
+    )
+    # doubled-quote escape still nets out as close+reopen
+    assert (
+        g.wrap_udf_args("SELECT udf('a''(b') FROM t")
+        == "SELECT udf(CAST('a''(b' AS STRING)) FROM t"
+    )
 
 
 def test_udf_string_relax_parses_by_golden_type():

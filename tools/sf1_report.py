@@ -42,10 +42,11 @@ def main() -> None:
         print(f"\nuncompared: sf1-only={only1} sf0.1-only={only0}")
     import math
 
-    gm1 = math.exp(sum(math.log(r1[n]) for n in names) / len(names))
-    gm0 = math.exp(sum(math.log(r0[n]) for n in names) / len(names))
-    print(f"\ngeomean over the {len(names)} common queries: "
-          f"sf0.1 {gm0:.4f} -> sf1 {gm1:.4f}")
+    if names:  # an empty intersection (one side errored wholesale)
+        gm1 = math.exp(sum(math.log(r1[n]) for n in names) / len(names))
+        gm0 = math.exp(sum(math.log(r0[n]) for n in names) / len(names))
+        print(f"\ngeomean over the {len(names)} common queries: "
+              f"sf0.1 {gm0:.4f} -> sf1 {gm1:.4f}")
     print(json.dumps({"flagged": flagged}))
 
 
