@@ -44,6 +44,63 @@ def single_partition(df: DataFrame) -> DataFrame:
     return df.coalesce(1)
 
 
+def choose_join_strategy(
+    dim_bytes: int,
+    fact_bytes: int,
+    hot_key_share: float,
+    *,
+    broadcast_threshold: int = 10 * 2**20,
+    aqe_skew_threshold: int = 256 * 2**20,
+    shuffle_partitions: int = 32,
+    salt_floor_bytes: int = 30 * 2**20,
+) -> str:
+    """The measured skew operating rule (SCALE.md round-13, measured
+    on measurements/skew_r13.jsonl's result-hash-identical 3-variant
+    hot-key study), as code instead of prose. Returns one of
+    ``"broadcast"`` / ``"plain"`` / ``"salted"`` for an equi-join of a
+    skewed fact against a dim.
+
+    Decision order:
+
+    1. **broadcast** when the dim fits the broadcast threshold (hint
+       it with ``F.broadcast`` — with no shuffled build side the
+       salted shape is moot). Same pick-smaller-side intent as the
+       reference's JoinSelectionOverrides (reference:
+       StrategyOverrides.scala:39-78), with Spark's own 10 MB default
+       as the fence (the raised 64 MB profile measurably regressed
+       sf1 stars — SCALE.md round-13).
+    2. **plain** when the hot key's partition exceeds AQE's
+       ``skewedPartitionThresholdInBytes`` (256 MB default): AQE's
+       OptimizeSkewedJoin WILL split it at runtime, and salting would
+       only add dim-replication shuffle on top.
+    3. **salted** in the measured in-between band: the hot partition
+       is big enough to dominate the stage's critical path (above
+       ``salt_floor_bytes`` and materially above the even-spread
+       share) but UNDER the AQE threshold, where the study showed
+       OptimizeSkewedJoin never fires (90 MB hot partition: max/p50
+       task spread 10.5x plain vs 1.28x salted at 9.4x shuffle cost —
+       on a 1000-executor cluster stage time IS max-task time).
+    4. **plain** otherwise — healthy spread; salting's dim
+       replication buys nothing.
+
+    ``hot_key_share`` is the hottest key's fraction of fact rows (a
+    cheap ``groupBy(key).count`` top-1 estimate, or a prior). The hot
+    partition estimate is ``fact_bytes * hot_key_share``: one key
+    always hashes to one partition regardless of partition count.
+    """
+    if not 0.0 <= hot_key_share <= 1.0:
+        raise ValueError(f"hot_key_share must be in [0, 1], got {hot_key_share}")
+    if dim_bytes <= broadcast_threshold:
+        return "broadcast"
+    hot_partition = fact_bytes * hot_key_share
+    if hot_partition >= aqe_skew_threshold:
+        return "plain"
+    even_share = 1.0 / max(shuffle_partitions, 1)
+    if hot_partition >= salt_floor_bytes and hot_key_share >= 4 * even_share:
+        return "salted"
+    return "plain"
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -16,7 +16,10 @@ Scale posture (100 TB / 1000 executors): everything below is
 per-session, cluster-size independent. ``shuffle_partitions`` should
 be sized 1-2x total cores at deploy time; AQE coalesces/splits at
 runtime so an over-estimate is safe. Skewed joins are handled by AQE
-skew-join; small dims by the raised broadcast threshold.
+skew-join; known-small dims by explicit ``F.broadcast`` hints in the
+plans (the auto threshold stays at Spark's 10 MB default — the
+round-13 sf1 bisect showed a raised threshold auto-broadcasting the
+fact side and regressing star joins 2x).
 """
 
 from __future__ import annotations

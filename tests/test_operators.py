@@ -465,6 +465,34 @@ def test_salted_join_bounds_task_spread_where_plain_does_not(spark):
     assert salted_max < plain_max / 2, (salted_max, plain_max)
 
 
+def test_choose_join_strategy_measured_regimes():
+    """The executable skew operating rule (round-13 verdict task 5),
+    pinned on the three regimes of measurements/skew_r13.jsonl's
+    hot-key study plus the healthy-spread base case."""
+    from gazelle_plugin_spark.operators.exchange import choose_join_strategy
+
+    MB = 2**20
+    # (a) broadcast-first: dim under the 10 MB fence — salting moot
+    assert choose_join_strategy(8 * MB, 600 * MB, 0.9) == "broadcast"
+    # (b) the measured salted band: the study's fixture — ~3M-row dim
+    # (too big to broadcast), 90%-hot fact whose hot partition lands
+    # ~90 MB, UNDER AQE's 256 MB skew threshold where OptimizeSkewedJoin
+    # measurably never fires (task spread 10.5x plain vs 1.28x salted)
+    assert choose_join_strategy(100 * MB, 100 * MB, 0.9) == "salted"
+    # (c) AQE-second: hot partition over 256 MB — AQE splits it at
+    # runtime, salting would only add 9.4x dim-replication shuffle
+    assert choose_join_strategy(100 * MB, 600 * MB, 0.9) == "plain"
+    # (d) healthy spread: hottest key near the even share — plain
+    assert choose_join_strategy(100 * MB, 6000 * MB, 1 / 32) == "plain"
+    # tiny hot partition (under the 30 MB floor): skew can't dominate
+    # a stage's critical path — plain even at a 90% share
+    assert choose_join_strategy(100 * MB, 20 * MB, 0.9) == "plain"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        choose_join_strategy(100 * MB, 100 * MB, 1.5)
+
+
 def test_merge_upsert_partitions_the_keyspace(spark):
     """Merge audit invariants: keep/update/insert counts partition
     (base + inserts) exactly by the key-mod rule, and the update
