@@ -32,6 +32,45 @@ def test_sf1_report_disjoint_sides(tmp_path, monkeypatch, capsys):
     assert "uncompared" in out
 
 
+def test_bench_adjudicate_classifies_verdicts(monkeypatch):
+    """bench._adjudicate re-measures suspects and classifies: fresh
+    ratio >= 0.9 -> machine-state, < threshold -> confirmed-weak, else
+    borderline; a side that errors records err instead of a verdict.
+    Pinned with a fake worker so no JVMs spawn."""
+    import bench
+
+    fresh = {
+        ("engine", "qa"): {"sec": 1.0, "t": [1.0, 1.0]},
+        ("vanilla", "qa"): {"sec": 1.2, "t": [1.2, 1.2]},
+        ("engine", "qb"): {"sec": 2.0, "t": [2.0, 2.0]},
+        ("vanilla", "qb"): {"sec": 1.0, "t": [1.0, 1.0]},
+        ("engine", "qc"): {"sec": 1.0, "t": [1.0]},
+        ("vanilla", "qc"): {"sec": 0.8, "t": [0.8]},
+        ("engine", "qd"): {"err": "boom"},
+        ("vanilla", "qd"): {"sec": 1.0, "t": [1.0]},
+    }
+
+    class FakeHandle:
+        def __init__(self, kind):
+            self.kind = kind
+
+        def ask(self, name):
+            return dict(fresh[(self.kind, name)])
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(bench, "_WorkerHandle", FakeHandle)
+    rd = {"qa": 0.5, "qb": 0.6, "qc": 0.65, "qd": 0.69}
+    out = bench._adjudicate(list(rd), rd)
+    assert out["qa"]["verdict"] == "machine-state" and out["qa"]["fresh_ratio"] == 1.2
+    assert out["qb"]["verdict"] == "confirmed-weak" and out["qb"]["fresh_ratio"] == 0.5
+    assert out["qc"]["verdict"] == "borderline"
+    assert "err" in out["qd"] and "verdict" not in out["qd"]
+    # original interleaved ratio is preserved for the artifact reader
+    assert out["qa"]["ratio"] == 0.5
+
+
 def test_sf1_report_flags_degraded(tmp_path, monkeypatch, capsys):
     a = tmp_path / "sf1.json"
     b = tmp_path / "sf01.json"
