@@ -403,15 +403,26 @@ def _adjudicate(names: list[str], rd: dict[str, float]) -> dict:
             h.stop()
         e, v = sides["engine"], sides["vanilla"]
         if "sec" in e and "sec" in v:
-            fr = round(v["sec"] / e["sec"], 3)
+            et, vt = e.get("t") or [], v.get("t") or []
+            # like-for-like: the SHORT_QUERY_REPS extension can fire on
+            # ONE side only (its median crossed the 2s threshold),
+            # handing that side extra warmed reps — compare medians
+            # over the same number of leading reps on both sides
+            k = min(len(et), len(vt))
+            if k:
+                fr = round(statistics.median(vt[:k]) / statistics.median(et[:k]), 3)
+            else:
+                fr = round(v["sec"] / e["sec"], 3)
             entry["fresh_ratio"] = fr
-            entry["e"] = [round(x, 2) for x in e.get("t") or []]
-            entry["v"] = [round(x, 2) for x in v.get("t") or []]
+            entry["e"] = [round(x, 2) for x in et]
+            entry["v"] = [round(x, 2) for x in vt]
+            # confirmed-weak FIRST: with a raised threshold (env), a
+            # fresh ratio under it must never read as refuted
             entry["verdict"] = (
-                "machine-state"
-                if fr >= 0.9
-                else "confirmed-weak"
+                "confirmed-weak"
                 if fr < ADJUDICATE_UNDER
+                else "machine-state"
+                if fr >= 0.9
                 else "borderline"
             )
         else:

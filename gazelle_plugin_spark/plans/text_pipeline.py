@@ -626,9 +626,11 @@ def doc_ngram_jaccard(spark, sf_dir):
     # 100 TB the shingle set is the natural checkpoint candidate; that
     # choice belongs to the caller (sources/io.py cache_columnar).
     sh = _shingles(spark, sf_dir)
-    # corpus-scaled DF cap as a broadcast 1-row aggregate: lazy, one
-    # metadata-cheap COUNT(*), identical arithmetic to the oracle's
-    # params CTE (exact division + IEEE sqrt/ceil)
+    # corpus-scaled DF cap as a broadcast 1-row aggregate: lazy,
+    # identical arithmetic to the oracle's params CTE (exact division
+    # + IEEE sqrt/ceil). Like every prefix-subtree node it executes
+    # once per SIDE of the candidate self-join (two metadata-only
+    # parquet footer COUNT(*) jobs — no data scan)
     cap = F.broadcast(
         t(spark, sf_dir, "documents").agg(
             F.least(

@@ -70,6 +70,22 @@ def test_bench_adjudicate_classifies_verdicts(monkeypatch):
     # original interleaved ratio is preserved for the artifact reader
     assert out["qa"]["ratio"] == 0.5
 
+    # like-for-like reps: one side's SHORT_QUERY_REPS extension (extra
+    # warmed reps) must not skew the ratio — compare medians over the
+    # same number of LEADING reps
+    fresh[("engine", "qe")] = {"sec": 1.0, "t": [2.0, 2.0, 2.0, 1.0, 1.0]}
+    fresh[("vanilla", "qe")] = {"sec": 2.0, "t": [2.0, 2.0, 2.0]}
+    out = bench._adjudicate(["qe"], {"qe": 0.5})
+    assert out["qe"]["fresh_ratio"] == 1.0  # not 2.0/1.0 from the medians
+
+    # a raised threshold must never let 'machine-state' swallow a
+    # fresh ratio still under it (confirmed-weak wins the precedence)
+    monkeypatch.setattr(bench, "ADJUDICATE_UNDER", 0.95)
+    fresh[("engine", "qf")] = {"sec": 1.0, "t": [1.0]}
+    fresh[("vanilla", "qf")] = {"sec": 0.92, "t": [0.92]}
+    out = bench._adjudicate(["qf"], {"qf": 0.5})
+    assert out["qf"]["verdict"] == "confirmed-weak"
+
 
 def test_sf1_report_flags_degraded(tmp_path, monkeypatch, capsys):
     a = tmp_path / "sf1.json"
