@@ -502,23 +502,28 @@ def doc_incremental_dedup(spark, sf_dir):
 #: rare, so recall is unaffected (pytest pins it against MinHash).
 #:
 #: The cap SCALES DOWN with corpus size (round-13 verdict task 1):
-#: with a FIXED cap the corpus's df distribution fills the [2, cap]
-#: band as it grows — every surviving shingle's C(df, 2) pair term
-#: grows with the square of its posting list — and the measured wall
-#: went x5.16 at x3 data (sf1->sf3, SCALE.md round-13) while shuffle
-#: stayed sublinear: pure CPU-side pair verification. The rule
 #:     cap(N) = clamp(ceil(sqrt(BUDGET / N)), MIN, MAX)
-#: holds the worst-case candidate count sum_s C(cap, 2) * |shingles|
-#: ~ N * cap^2 at a CONSTANT ~BUDGET pair budget, so verify work stays
-#: linear in corpus bytes. At the 5k-doc reference corpus (sf0.1) the
-#: cap is the historical 20; at 50k docs it is 7; at 150k docs, 4 —
-#: "capped far more aggressively than the local default", exactly the
-#: 100 TB posture. Recall: a J>=0.8 pair is generated iff ONE of its
-#: rarest-first prefix shingles has df <= cap; planted near-dup pairs
-#: share pair-local shingles at df~2, so the floor is unchanged
-#: (re-derived at the aggressive cap in tests/test_pipelines.py).
-#: Dup CLUSTERS wider than the cap are MinHash banding's territory
-#: (doc_minhash_neardup caps buckets, not candidates' existence).
+#: holds the WORST-CASE candidate count sum_s C(cap, 2) * |shingles|
+#: ~ N * cap^2 at a CONSTANT ~BUDGET pair budget — a guarantee for
+#: boilerplate-heavy corpora whose df band [2, MAX] is enormous, where
+#: a fixed cap admits N x C(20,2) pair terms. At the 5k-doc reference
+#: corpus (sf0.1) the cap is the historical 20; at 50k docs it is 7;
+#: at 150k docs, 4. Measured on Heaps/Zipf-shaped corpora (SCALE.md
+#: round-14): on REALISTIC text both fixed and scaled caps are linear
+#: (bytes x3.0-3.1 at x3 data); the scaled cap buys ~10% wall / 13%
+#: shuffled records at a 0.8-2.1% verified-pair cost. (The round-13
+#: "superlinear pair verification" flag that motivated this was an
+#: artifact of the fixed-31-word scale fixture, whose shingle universe
+#: saturates at 31^3 and empties EVERY df-bounded candidate scheme
+#: beyond ~15k docs — see SCALE.md round-14 correction.)
+#: Recall: a J>=0.8 pair is generated iff ONE of its rarest-first
+#: prefix shingles has df <= cap; near-dup pairs share pair-local
+#: rare shingles, so measured recall is 99.1% of MinHash's verified
+#: pairs at 50k docs (floor re-derived at the aggressive cap in
+#: tests/test_pipelines.py). Docs built ENTIRELY of Zipf-head words —
+#: like dup clusters wider than the cap — are MinHash banding's
+#: territory (doc_minhash_neardup caps buckets, not candidates'
+#: existence).
 NGRAM_DF_MAX = 20
 NGRAM_DF_MIN = 4
 #: BUDGET = MAX^2 * 5000 reference docs: cap hits MAX exactly at the
@@ -608,11 +613,14 @@ def doc_ngram_jaccard(spark, sf_dir):
     Two candidate bounds on top of the prefix (round-13 verdict
     task 1, the DF-cap scaling rule):
     - df <= ngram_df_cap(N): the stop-shingle cap SCALES with corpus
-      size (see NGRAM_DF_BUDGET) so sum-of-C(df,2) verify work stays
-      linear in corpus bytes — the fixed cap measured x5.16 wall at
-      x3 data. The cap is computed IN-PLAN from a broadcast 1-row
-      COUNT(*) aggregate, so the query stays lazy and the oracle
-      computes the identical value.
+      size (see NGRAM_DF_BUDGET) so worst-case sum-of-C(df,2) verify
+      work is bounded at a constant pair budget; on realistic
+      Heaps/Zipf corpora it is a ~10%-wall constant-factor win at a
+      0.8-2.1% pair cost (measured — SCALE.md round-14, including the
+      correction of the round-13 superlinearity flag). The cap is
+      computed IN-PLAN from a broadcast 1-row COUNT(*) aggregate, so
+      the query stays lazy and the oracle computes the identical
+      value.
     - the ppjoin LENGTH filter 4*max(n1,n2) <= 5*min(n1,n2): EXACT
       for J >= 0.8 (|A^B| <= min and |A^B| >= 0.8*max force
       5*min >= 4*max), so it drops only provably-sub-threshold pairs.

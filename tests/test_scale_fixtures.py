@@ -84,3 +84,29 @@ def test_pipeline_fixture_schema_matches_testdata(spark, pipe_dir):
         got = dict(spark.read.parquet(f"{pipe_dir}/{name}.parquet").dtypes)
         norm = lambda d: {k: v.replace("timestamp_ntz", "timestamp") for k, v in d.items()}
         assert norm(got) == norm(want), name
+
+
+def test_heaps_vocab_grows_and_keeps_rare_tail():
+    """The --heaps document variant (round 14): vocabulary size grows
+    with the corpus (Heaps beta=0.5 from the 31-word/5k-doc anchor)
+    under a Zipf(1.1) weighting, so rare shingles EXIST at every scale
+    — the driver-shape fixture's fixed 31-word vocab saturates the
+    trigram universe at 31^3 and makes every df-bounded candidate
+    scheme vacuously empty beyond ~15k docs (SCALE.md round-14)."""
+    import numpy as np
+    from scale_fixtures import _heaps_vocab, gen_documents
+
+    rng = np.random.default_rng(7)
+    v5k, p5k = _heaps_vocab(5000, rng)
+    v50k, p50k = _heaps_vocab(50000, rng)
+    assert len(v5k) == 31  # anchor: the driver corpus scale
+    assert len(v50k) == round(31 * 10**0.5)
+    assert abs(p50k.sum() - 1.0) < 1e-9
+    # Zipf head/tail spread exists (stop-shingles AND rare shingles)
+    assert p50k.max() / p50k.min() > 50
+    # generated docs draw from the grown vocab (20k docs -> vocab 62;
+    # below the 5k-doc anchor the variant intentionally matches the
+    # driver vocab)
+    tbl = gen_documents(20_000, rng, heaps=True)
+    words = {w for t in tbl["text"].to_pylist() for w in t.split(" ")}
+    assert len(words) > 31

@@ -54,11 +54,37 @@ DIM = 64
 N_LABELS = 10
 
 
-def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+def _heaps_vocab(n_docs: int, rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray]:
+    """Vocabulary for the --heaps variant: size grows with the corpus
+    (V = 31 * sqrt(docs/5000), Heaps' law with beta=0.5) and word
+    probabilities are Zipf(1.1) — the long rare tail every real corpus
+    has. Purpose: the DRIVER-shape fixture's FIXED 31-word vocab
+    saturates the trigram-shingle universe at 31^3 = 29,791, so beyond
+    ~15k docs EVERY shingle's document frequency exceeds any useful
+    stop-shingle cap and df-bounded candidate generation (the
+    prefix-filter set-similarity join family) is VACUOUSLY empty —
+    discovered in round 14 (SCALE.md). This variant keeps rare
+    shingles in existence at every scale, the regime those operators
+    actually face on real text."""
+    v = max(len(VOCAB), round(len(VOCAB) * (n_docs / 5000.0) ** 0.5))
+    vocab = np.array(VOCAB + [f"w{i}" for i in range(v - len(VOCAB))])
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    p = ranks ** -1.1
+    p /= p.sum()
+    # shuffle so rank order is not doc-id-correlated via the id words
+    perm = rng.permutation(v)
+    return vocab[perm], p
+
+
+def gen_documents(n: int, rng: np.random.Generator, heaps: bool = False) -> pa.Table:
     wc = rng.integers(10, 101, size=n)
-    vocab = np.array(VOCAB)
-    # base corpus: independent uniform words per doc
-    words = [vocab[rng.integers(0, len(vocab), size=c)].tolist() for c in wc]
+    if heaps:
+        vocab, p = _heaps_vocab(n, rng)
+        words = [vocab[rng.choice(len(vocab), size=c, p=p)].tolist() for c in wc]
+    else:
+        vocab = np.array(VOCAB)
+        # base corpus: independent uniform words per doc
+        words = [vocab[rng.integers(0, len(vocab), size=c)].tolist() for c in wc]
     # plant near-dup pairs: partner = copy of base with 0-2 word edits
     # (driver-measured trigram-Jaccard spread 0.8..1.0, 8/256 exact)
     n_pairs = round(n * NEARDUP_PAIRS_PER_5K / 5000)
@@ -125,17 +151,21 @@ def gen_embeddings(m: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def generate(out_dir: str, sf: float, seed: int = 42) -> None:
+def generate(out_dir: str, sf: float, seed: int = 42, heaps: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng([seed, int(sf * 1000)])
     n_docs, n_vecs = round(DOCS_PER_SF * sf), round(VECS_PER_SF * sf)
     n_ev, n_users = round(EVENTS_PER_SF * sf), round(USERS_PER_SF * sf)
-    pq.write_table(gen_documents(n_docs, rng), os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(gen_documents(n_docs, rng, heaps), os.path.join(out_dir, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(out_dir, "embeddings.parquet"))
     pq.write_table(gen_events(n_ev, n_users, rng), os.path.join(out_dir, "events.parquet"))
-    print(f"wrote {out_dir}: documents={n_docs} embeddings={n_vecs} events={n_ev}")
+    kind = "heaps-vocab" if heaps else "driver-shape"
+    print(f"wrote {out_dir} ({kind}): documents={n_docs} embeddings={n_vecs} events={n_ev}")
 
 
 if __name__ == "__main__":
+    heaps = "--heaps" in sys.argv
+    argv = [a for a in sys.argv if a != "--heaps"]
+    sys.argv = argv
     out, sf = sys.argv[1], float(sys.argv[2])
-    generate(out, sf, int(sys.argv[3]) if len(sys.argv) > 3 else 42)
+    generate(out, sf, int(sys.argv[3]) if len(sys.argv) > 3 else 42, heaps=heaps)
