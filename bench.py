@@ -24,13 +24,21 @@ artifact): every query runs under try/except; failures land in
 "errors": {name: message} and the run continues. The JSON always
 prints.
 
-Self-adjudication (round-13 verdict task 2): after a compare run,
-every ratio under $SPARK_GRAFT_BENCH_ADJ_UNDER (default 0.7, worst
-first, at most $SPARK_GRAFT_BENCH_ADJ_MAX=4) is re-measured in
-isolated fresh JVMs — one side at a time, never co-tenant — and the
-verdict (machine-state / borderline / confirmed-weak) is recorded in
-an "adjudications" block, so no sub-threshold row leaves the round
-unexplained by the artifact itself.
+Self-adjudication (round-13 verdict task 2; band widened round 15):
+after a compare run, suspect ratios are re-measured in isolated fresh
+JVMs — one side at a time, never co-tenant — and the verdict
+(machine-state / borderline / confirmed-weak) is recorded in an
+"adjudications" block. Suspects = every ratio under
+$SPARK_GRAFT_BENCH_ADJ_UNDER (default 0.7) PLUS rows in
+[ADJ_UNDER, $SPARK_GRAFT_BENCH_ADJ_BAND=0.9) whose engine rep array
+is NOT warm-up-shaped (round-14 verdict task 3: ds_month_flag_pivot
+at 0.733 left the r14 artifact unexplained). Band rows whose engine
+reps DO decay and whose steady-state ratio (first rep dropped, both
+sides) is parity-band are recorded as "rep-decay" without spending
+JVMs. Fresh-JVM re-measurement is bounded at the worst
+$SPARK_GRAFT_BENCH_ADJ_MAX=4 rows; anything past the cap is listed in
+"adjudications_skipped" so the artifact never silently claims full
+coverage.
 
 The headline set is the 22 TPC-H-derived queries (matching
 BENCH_r01.json and the reference's Decision Support Benchmark1) PLUS
@@ -386,6 +394,76 @@ class _WorkerHandle:
 ADJUDICATE_UNDER = float(os.environ.get("SPARK_GRAFT_BENCH_ADJ_UNDER", "0.7"))
 ADJUDICATE_MAX = int(os.environ.get("SPARK_GRAFT_BENCH_ADJ_MAX", "4"))
 
+#: Upper edge of the adjudication BAND (round-14 verdict task 3): rows
+#: in [ADJUDICATE_UNDER, ADJUDICATE_BAND) were previously a blind spot
+#: — sub-0.9 but over the fresh-JVM trigger, so the artifact shipped
+#: them unexplained (r14's ds_month_flag_pivot at 0.733). Band rows
+#: whose engine reps are uniform (no warm-up decay to blame) now join
+#: the fresh-JVM queue; warm-up-shaped band rows self-explain via the
+#: steady-state ratio instead.
+ADJUDICATE_BAND = float(os.environ.get("SPARK_GRAFT_BENCH_ADJ_BAND", "0.9"))
+
+#: A rep array is warm-up-shaped ("decaying") when its FIRST timed rep
+#: runs at least this factor over the median of the remaining reps —
+#: the residue of first-plan codegen/JIT that WARM_EXCLUDE_UNDER only
+#:  catches for sub-2s queries. r14's ds_month_flag_pivot engine reps
+#: [4.99, 3.91, 2.89]: 4.99 >= 1.25 * median(3.91, 2.89) -> decaying.
+REP_DECAY_FACTOR = float(os.environ.get("SPARK_GRAFT_BENCH_DECAY_FACTOR", "1.25"))
+
+
+def _reps_decaying(t: list[float] | None) -> bool:
+    """True when a timed rep array has warm-up shape (see
+    REP_DECAY_FACTOR). Arrays of fewer than 2 reps carry no shape
+    evidence and classify as NOT decaying, i.e. they stay eligible for
+    fresh-JVM adjudication rather than self-explaining."""
+    if not t or len(t) < 2:
+        return False
+    return t[0] >= REP_DECAY_FACTOR * statistics.median(t[1:])
+
+
+def _steady_ratio(et: list[float] | None, vt: list[float] | None) -> float | None:
+    """Steady-state ratio: drop the FIRST rep on BOTH sides (the
+    decay residue) and compare medians over the same number of leading
+    remaining reps. None when either side lacks 2+ reps."""
+    if not et or not vt or len(et) < 2 or len(vt) < 2:
+        return None
+    k = min(len(et), len(vt))
+    return round(statistics.median(vt[1:k]) / statistics.median(et[1:k]), 3)
+
+
+def _select_suspects(
+    rd: dict[str, float],
+    ereps: dict[str, dict],
+    vreps: dict[str, dict],
+) -> tuple[dict[str, dict], list[str], list[str]]:
+    """Partition compare-run ratios into (self-explained rep-decay
+    entries, fresh-JVM queue, skipped-past-cap names), worst ratio
+    first. Sub-ADJUDICATE_UNDER rows always queue; band rows
+    [ADJUDICATE_UNDER, ADJUDICATE_BAND) self-explain as "rep-decay"
+    only when the engine rep array is warm-up-shaped AND the
+    steady-state ratio (first rep dropped both sides) is back in the
+    parity band — otherwise they queue too. The fresh-JVM queue is
+    capped at ADJUDICATE_MAX; the overflow is RETURNED, not dropped,
+    so the artifact records what it did not re-measure."""
+    explained: dict[str, dict] = {}
+    queue: list[str] = []
+    for n, r in sorted(rd.items(), key=lambda kv: kv[1]):
+        if r < ADJUDICATE_UNDER:
+            queue.append(n)
+        elif r < ADJUDICATE_BAND:
+            et = (ereps.get(n) or {}).get("t")
+            vt = (vreps.get(n) or {}).get("t")
+            steady = _steady_ratio(et, vt)
+            if _reps_decaying(et) and steady is not None and steady >= ADJUDICATE_BAND:
+                explained[n] = {
+                    "ratio": r,
+                    "verdict": "rep-decay",
+                    "steady_ratio": steady,
+                }
+            else:
+                queue.append(n)
+    return explained, queue[:ADJUDICATE_MAX], queue[ADJUDICATE_MAX:]
+
 
 def _adjudicate(names: list[str], rd: dict[str, float]) -> dict:
     """Re-measure each suspect query pair in fresh, isolated JVMs
@@ -431,11 +509,42 @@ def _adjudicate(names: list[str], rd: dict[str, float]) -> dict:
     return out
 
 
+USAGE = """usage: python bench.py [--no-compare | --vanilla] [query ...]
+
+Runs the headline query set (TPC-H + SSB + ds_ patterns + the
+LLM-pipeline ops) at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON result line. Default mode compares the engine
+against a vanilla-Spark measurement subprocess, interleaved per query.
+
+  --no-compare     engine-only run
+  --vanilla        default-conf Spark session only
+  --worker[=kind]  internal measurement subprocess (engine|vanilla)
+  -h, --help       this message
+
+Positional args name specific registered queries (e.g. q1 q6
+doc_minhash_neardup); unknown flags are an error — a typo must not
+silently launch a full default compare run (round-14 verdict task 4).
+"""
+
+KNOWN_FLAGS = {"--no-compare", "--vanilla", "--worker"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     args = sys.argv[1:]
+    if "-h" in args or "--help" in args:
+        print(USAGE, end="")
+        return
+    unknown = [
+        a
+        for a in args
+        if a.startswith("-") and a.split("=", 1)[0] not in KNOWN_FLAGS
+    ]
+    if unknown:
+        print(f"bench.py: unknown flag(s): {' '.join(unknown)}\n{USAGE}", file=sys.stderr, end="")
+        sys.exit(2)
     for a in args:
         if a.startswith("--worker"):
             kind = a.split("=", 1)[1] if "=" in a else "vanilla"
@@ -563,14 +672,18 @@ def main() -> None:
         result["ratios"] = dict(
             sorted(rd.items(), key=lambda kv: kv[1], reverse=True)
         )
-        # end-of-run self-adjudication of sub-threshold rows (worst
-        # first, bounded): no sub-0.7 row leaves the round unexplained
-        # by the artifact itself
-        suspects = [
-            n for n, r in sorted(rd.items(), key=lambda kv: kv[1]) if r < ADJUDICATE_UNDER
-        ][:ADJUDICATE_MAX]
-        if suspects:
-            result["adjudications"] = _adjudicate(suspects, rd)
+        # End-of-run self-adjudication (worst first, bounded): sub-0.7
+        # rows always queue for fresh JVMs; band rows [0.7, 0.9) queue
+        # only when their engine reps are uniform — a warm-up-shaped
+        # band row whose steady-state ratio is parity self-explains as
+        # "rep-decay" without spending JVMs (round-14 verdict task 3).
+        adjudications, fresh_queue, skipped = _select_suspects(rd, ereps, vreps)
+        if skipped:
+            result["adjudications_skipped"] = skipped
+        if fresh_queue:
+            adjudications.update(_adjudicate(fresh_queue, rd))
+        if adjudications:
+            result["adjudications"] = adjudications
         if rd:
             gm = round(math.exp(sum(math.log(r) for r in rd.values()) / len(rd)), 4)
             worst = sorted(rd.items(), key=lambda kv: kv[1])[:10]
@@ -625,6 +738,7 @@ def main() -> None:
             "short_query_reps",
             "machine",
             "adjudications",
+            "adjudications_skipped",
         )
         if k in result
     }

@@ -68,58 +68,58 @@ def load_all() -> None:
 #: item 7). q1 stays first: entry() depends on it. Every window entry
 #: carries a full DuckDB hash oracle (ROWS_ONLY_WINDOW is empty since
 #: round 8).
+#: CHANGED-PLAN RULE (round-14 verdict item 1): any query whose plan
+#: function changed materially in-round is auto-FRONTED into the next
+#: window regardless of its staleness turn — the driver's own hash gate
+#: must see the new plan before the round that shipped it is judged
+#: done. (Round 14 shipped doc_ngram_jaccard's in-plan DF cap + ppjoin
+#: filter while its newest driver evidence was r11; round 15 fronts it.)
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # Re-proven prominently this round (round-13 verdict task 8): q7's
-    # r13 driver-bench row (0.548) was adjudicated as machine-state by
-    # fresh-JVM re-measurement; it re-enters the window so the round
-    # closes with a fresh correctness row AND a self-adjudicated bench
-    # row (bench.py's new adjudications block).
-    "q7",
-    # STALEST evidence next: the full 26-row r08 cohort — exactly the
-    # rotation precomputed at r13 close (dstext/sqltext verbatim
-    # replays of the reference's SQL files + the remaining ssb
-    # variants). After this window no row's newest green is older
-    # than r09.
-    "dstext_q10", "dstext_q19", "dstext_q3", "dstext_q34",
-    "dstext_q42", "dstext_q43", "dstext_q46", "dstext_q52",
-    "dstext_q55", "dstext_q68", "dstext_q73", "dstext_q79",
-    "dstext_ss_max",
-    "sqltext_q18", "sqltext_q5", "sqltext_q9",
-    "sqltext_ssb1_1", "sqltext_ssb2_1", "sqltext_ssb4_2",
-    "ssb1_3", "ssb2_1", "ssb2_3", "ssb3_1", "ssb3_4",
-    "ssb4_1", "ssb4_3",
-    # ... then 21 of the 48-row r09 cohort: all 20 non-tpcdsfull r09
-    # rows (diverse families — includes the r13 noise-class watch rows
-    # ds_dow_pivot and ds_window_dev, and q4 from the fixed broadcast
-    # regression set) + the first tpcdsfull replay; the remaining
-    # 27 tpcdsfull r09 rows rotate in next round (q7 costs one slot,
-    # per the round-13 verdict). mm_frame_sample (stalest mm_ row,
-    # r10) keeps the window a full family cross-section.
-    "doc_incremental_dedup", "doc_simhash_neardup",
-    "ds_class_share", "ds_dow_pivot", "ds_exists_disjunction",
-    "ds_freq_buyers", "ds_rev_fraction", "ds_rollup_star",
-    "ds_ss_max", "ds_trip_mismatch", "ds_week_compare",
-    "ds_window_dev", "emb_centroid_assign", "events_frames",
-    "expr_conditional", "q4", "rel_cube", "rel_grouping_sets",
-    "rel_union_all", "ssb1_2",
-    "tpcdsfull_q10",
-    "mm_frame_sample",
+    # FRONTED per the changed-plan rule: doc_ngram_jaccard's plan
+    # gained the scaled DF cap + ppjoin length filter in round 14
+    # (text_pipeline.py:637-680) but its newest driver-oracle row is
+    # r11, pre-change. Changed plans jump the rotation queue.
+    "doc_ngram_jaccard",
+    # STALEST evidence next: the 27 remaining r09 tpcdsfull rows —
+    # exactly the rotation precomputed at r14 close. After this window
+    # no tpcdsfull row's newest green is older than r10.
+    "tpcdsfull_q15", "tpcdsfull_q16", "tpcdsfull_q21",
+    "tpcdsfull_q23a", "tpcdsfull_q25", "tpcdsfull_q29",
+    "tpcdsfull_q30", "tpcdsfull_q33", "tpcdsfull_q37",
+    "tpcdsfull_q40", "tpcdsfull_q45", "tpcdsfull_q48",
+    "tpcdsfull_q50", "tpcdsfull_q56", "tpcdsfull_q60",
+    "tpcdsfull_q62", "tpcdsfull_q69", "tpcdsfull_q71",
+    "tpcdsfull_q72", "tpcdsfull_q81", "tpcdsfull_q82",
+    "tpcdsfull_q84", "tpcdsfull_q86", "tpcdsfull_q88",
+    "tpcdsfull_q93", "tpcdsfull_q97", "tpcdsfull_q99",
+    # ... then 21 of the 46-row r10 cohort, curated as a family
+    # cross-section (the 7 r10 tpcdsfull rows finish that family's
+    # refresh; doc_/emb_/events_/expr_/q*/rel_/ssb keep the window
+    # representative). The remaining 25 r10 rows front the r16 window.
+    "tpcdsfull_q19", "tpcdsfull_q38", "tpcdsfull_q5",
+    "tpcdsfull_q87", "tpcdsfull_q94", "tpcdsfull_q95",
+    "tpcdsfull_q96",
+    "doc_lang_id", "doc_quality", "doc_simhash",
+    "doc_text_stats", "doc_token_counts",
+    "emb_topk_cosine", "events_lag_lead", "events_sessionize",
+    "expr_math", "expr_string", "q10",
+    "rel_cross_join",
+    # ds_double_exists is the stalest ds_ row (r10) and
+    # mm_byte_features the stalest mm_ row (r11): they keep the window
+    # a full family cross-section (test_sql_entry pins it).
+    "ds_double_exists", "mm_byte_features",
 )
-# Round-15 rotation plan (computed at r14 close so next round starts
-# with the choreography done): assuming this window goes green, the
-# stalest cohort will be the 27 remaining r09 tpcdsfull rows — front
-# them, then fill with the stalest r10 rows; register any NEW queries
-# before re-freezing.
-#   tpcdsfull_q15 tpcdsfull_q16 tpcdsfull_q21 tpcdsfull_q23a tpcdsfull_q25 tpcdsfull_q29
-#   tpcdsfull_q30 tpcdsfull_q33 tpcdsfull_q37 tpcdsfull_q40
-#   tpcdsfull_q45 tpcdsfull_q48 tpcdsfull_q50 tpcdsfull_q56
-#   tpcdsfull_q60 tpcdsfull_q62 tpcdsfull_q69 tpcdsfull_q71
-#   tpcdsfull_q72 tpcdsfull_q81 tpcdsfull_q82 tpcdsfull_q84
-#   tpcdsfull_q86 tpcdsfull_q88 tpcdsfull_q93 tpcdsfull_q97
-#   tpcdsfull_q99
-#   (+ 24 stalest r10 rows, recompute at close)
+# Round-16 rotation plan (computed at r15 close): assuming this window
+# goes green, the stalest cohort is the 26 remaining r10 rows — front
+# them (plus any plan changed in round 15, per the changed-plan rule),
+# then fill with the stalest r11 rows:
+#   dsv27_q10a dsv27_q11 dsv27_q14a dsv27_q34 dsv27_q5a dsv27_q6
+#   dsv27_q67a dsv27_q70a dsv27_q74 dsv27_q75 dsv27_q80a dsv27_q86a
+#   q12 q13 q14 q15 q17 q20 rel_collect rel_except rel_intersect
+#   rel_union_distinct ssb2_2 ssb3_2 ssb3_3 ssb4_2
+#   (+ 22 stalest r11 rows, recompute at close)
 
 #: Window entries with NO DuckDB oracle. Empty since round 8:
 #: expr_hash_native — the last rows-only entry — now carries a VALUES

@@ -97,3 +97,97 @@ def test_sf1_report_flags_degraded(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert '{"flagged": ["q1"]}' in out
     assert "geomean" in out
+
+
+def test_bench_rep_shape_classifier_boundaries():
+    """Pin the warm-up-shape classifier (round-14 verdict task 3):
+    decaying iff first timed rep >= 1.25x the median of the rest;
+    short arrays carry no shape evidence and stay adjudicable."""
+    import bench
+
+    # r14's ds_month_flag_pivot engine reps: the motivating example
+    assert bench._reps_decaying([4.99, 3.91, 2.89])
+    # exactly at the factor boundary counts as decaying (>=)
+    assert bench._reps_decaying([1.25, 1.0, 1.0])
+    assert not bench._reps_decaying([1.24, 1.0, 1.0])
+    # uniform gap = not decaying = needs fresh JVMs
+    assert not bench._reps_decaying([2.0, 2.0, 2.0])
+    # no shape evidence: empty / single-rep arrays
+    assert not bench._reps_decaying(None)
+    assert not bench._reps_decaying([3.0])
+
+    # steady ratio drops the first rep on BOTH sides, like-for-like:
+    # median(2.73, 2.87) / median(3.91, 2.89). With r14's real
+    # ds_month_flag_pivot arrays this is 0.824 < 0.9, so that row
+    # would still QUEUE for fresh JVMs — decay alone never excuses a
+    # row whose steady state is below the band.
+    assert bench._steady_ratio([4.99, 3.91, 2.89], [3.83, 2.73, 2.87]) == round(
+        2.80 / 3.4, 3
+    )
+    assert bench._steady_ratio([1.0], [1.0, 1.0]) is None
+
+
+def test_bench_select_suspects_band_and_cap(monkeypatch):
+    """The adjudication blind band is closed: [0.7, 0.9) rows with
+    uniform engine reps queue for fresh JVMs; warm-up-shaped band rows
+    with parity steady-state self-explain as rep-decay; sub-0.7 rows
+    always queue; overflow past ADJUDICATE_MAX is RETURNED as skipped,
+    never silently dropped (round-14 ADVICE item 1)."""
+    import bench
+
+    monkeypatch.setattr(bench, "ADJUDICATE_MAX", 2)
+    rd = {
+        "low1": 0.5,          # sub-0.7: always queue (worst first)
+        "low2": 0.65,         # sub-0.7: queue -> cap reached
+        "band_uniform": 0.8,  # uniform reps: queue -> skipped past cap
+        "band_decay": 0.85,   # warm-up shape + parity steady: explained
+        "band_decay_still_weak": 0.85,  # decay but steady < 0.9: queue
+        "healthy": 1.1,       # over the band: untouched
+    }
+    ereps = {
+        "band_uniform": {"t": [2.0, 2.0, 2.0]},
+        "band_decay": {"t": [4.99, 3.91, 2.89]},
+        "band_decay_still_weak": {"t": [4.0, 2.0, 2.0]},
+        "healthy": {"t": [1.0, 1.0]},
+    }
+    vreps = {
+        "band_uniform": {"t": [1.6, 1.6, 1.6]},
+        "band_decay": {"t": [3.83, 3.2, 3.3]},
+        "band_decay_still_weak": {"t": [1.5, 1.5, 1.5]},
+        "healthy": {"t": [1.1, 1.1]},
+    }
+    explained, queue, skipped = bench._select_suspects(rd, ereps, vreps)
+    assert list(explained) == ["band_decay"]
+    assert explained["band_decay"]["verdict"] == "rep-decay"
+    assert explained["band_decay"]["steady_ratio"] >= 0.9
+    assert queue == ["low1", "low2"]
+    assert skipped == ["band_uniform", "band_decay_still_weak"]
+
+    # a band row with NO rep arrays (e.g. worker err on one side's
+    # reps) has no shape evidence -> queues rather than self-explains
+    explained, queue, _ = bench._select_suspects({"bare": 0.8}, {}, {})
+    assert not explained and queue == ["bare"]
+
+
+def test_bench_rejects_unknown_flags(monkeypatch, capsys):
+    """A typo'd flag must not silently launch a full default compare
+    run (round-14 verdict task 4): unknown --* exits 2 with usage;
+    -h/--help prints usage and exits 0."""
+    import pytest
+
+    import bench
+
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--help"])
+    bench.main()
+    assert "usage:" in capsys.readouterr().out
+
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--helpp"])
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 2
+    assert "unknown flag" in capsys.readouterr().err
+
+    monkeypatch.setattr(sys, "argv", ["bench.py", "-x", "q1"])
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 2
