@@ -51,6 +51,7 @@ def choose_join_strategy(
     *,
     broadcast_threshold: int = 10 * 2**20,
     aqe_skew_threshold: int = 256 * 2**20,
+    aqe_skew_factor: float = 5.0,
     shuffle_partitions: int = 32,
     salt_floor_bytes: int = 30 * 2**20,
 ) -> str:
@@ -69,10 +70,18 @@ def choose_join_strategy(
        StrategyOverrides.scala:39-78), with Spark's own 10 MB default
        as the fence (the raised 64 MB profile measurably regressed
        sf1 stars — SCALE.md round-13).
-    2. **plain** when the hot key's partition exceeds AQE's
-       ``skewedPartitionThresholdInBytes`` (256 MB default): AQE's
-       OptimizeSkewedJoin WILL split it at runtime, and salting would
-       only add dim-replication shuffle on top.
+    2. **plain** when the hot key's partition meets BOTH of AQE's
+       skew-split preconditions — ``skewedPartitionThresholdInBytes``
+       (256 MB default) AND ``skewedPartitionFactor`` (5x) times the
+       median partition size (estimated here as the even 1/partitions
+       share): only then does OptimizeSkewedJoin split at runtime, and
+       salting would just add dim-replication shuffle on top. A large
+       hot partition among uniformly large partitions fails the 5x
+       factor and falls through (round-14 ADVICE: size alone never
+       triggers the split). Caveat the caller owns: AQE skew split
+       applies to sort-merge/shuffled-hash joins only — for a shape
+       AQE cannot split (e.g. a BNLJ), pass ``aqe_skew_threshold``
+       high enough to disable this branch.
     3. **salted** in the measured in-between band: the hot partition
        is big enough to dominate the stage's critical path (above
        ``salt_floor_bytes`` and materially above the even-spread
@@ -93,12 +102,62 @@ def choose_join_strategy(
     if dim_bytes <= broadcast_threshold:
         return "broadcast"
     hot_partition = fact_bytes * hot_key_share
-    if hot_partition >= aqe_skew_threshold:
-        return "plain"
     even_share = 1.0 / max(shuffle_partitions, 1)
+    if (
+        hot_partition >= aqe_skew_threshold
+        and hot_key_share >= aqe_skew_factor * even_share
+    ):
+        return "plain"
     if hot_partition >= salt_floor_bytes and hot_key_share >= 4 * even_share:
         return "salted"
     return "plain"
+
+
+def skew_aware_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    dim_bytes: int,
+    fact_bytes: int,
+    hot_key_share: float,
+    salt: int = 16,
+    how: str = "inner",
+    **rule_kwargs,
+) -> DataFrame:
+    """The live caller of :func:`choose_join_strategy` (round-14
+    verdict task 5): an equi-join of a skewed ``left`` (fact) against
+    ``right`` (dim) that consults the measured skew rule instead of
+    leaving regime choice to the caller's judgment — the analog of the
+    reference's JoinSelectionOverrides being a live strategy, not
+    documentation (reference: StrategyOverrides.scala:39-78).
+
+    ``dim_bytes`` / ``fact_bytes`` / ``hot_key_share`` are the caller's
+    size estimates (catalog stats, a prior, or a cheap top-1 key
+    count); ``rule_kwargs`` pass through to choose_join_strategy.
+    Dispatch:
+
+    - ``"broadcast"`` → plain join with an explicit ``F.broadcast``
+      hint on the dim (threshold-independent — the r13 lesson).
+    - ``"plain"`` → plain shuffled join; AQE owns any runtime split.
+    - ``"salted"`` → :func:`salted_join` with ``salt`` buckets.
+
+    The chosen regime is observable in the physical plan (broadcast →
+    BroadcastHashJoin; salted → the explode+salt shape); tests pin the
+    regime transitions on planted-skew fixtures.
+    """
+    from pyspark.sql import functions as F
+
+    strategy = choose_join_strategy(
+        dim_bytes, fact_bytes, hot_key_share, **rule_kwargs
+    )
+    if strategy == "salted":
+        return salted_join(left, right, left_key, right_key, salt=salt, how=how)
+    if how not in ("inner", "left_outer"):
+        raise ValueError("skew_aware_join supports how='inner'|'left_outer'")
+    dim = F.broadcast(right) if strategy == "broadcast" else right
+    return left.join(dim, left[left_key] == right[right_key], how)
 
 
 def salted_join(

@@ -465,12 +465,31 @@ def rel_salted_join(spark, sf_dir):
     so the probe side is salted deterministically (xxhash64, no rand)
     and the build side explode-replicated. The oracle is the PLAIN
     join: salting must be result-invariant (also equality-tested on
-    90%-hot-key data in tests/test_operators.py)."""
-    from gazelle_plugin_spark.operators.exchange import salted_join
+    90%-hot-key data in tests/test_operators.py).
+
+    Routed through skew_aware_join (round-14 verdict task 5): the
+    stats below encode the 100 TB posture this query demonstrates — a
+    100 MB dim (over the broadcast fence) and a 180 MB hot partition
+    (600 MB fact x 0.3 share: under AQE's 256 MB split threshold, so
+    OptimizeSkewedJoin never fires) — which choose_join_strategy
+    resolves to "salted"; the dispatched physical plan is identical
+    to the former direct salted_join(salt=4) call."""
+    from gazelle_plugin_spark.operators.exchange import (
+        choose_join_strategy,
+        skew_aware_join,
+    )
 
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     s = t(spark, sf_dir, "supplier")
-    j = salted_join(c, s, "c_nationkey", "s_nationkey", salt=4)
+    # the regime these stats encode is pinned: a mid-band hot key the
+    # AQE split cannot rescue -> "salted" (same plan as before)
+    stats = {
+        "dim_bytes": 100 * 2**20,
+        "fact_bytes": 600 * 2**20,
+        "hot_key_share": 0.3,
+    }
+    assert choose_join_strategy(**stats) == "salted"
+    j = skew_aware_join(c, s, "c_nationkey", "s_nationkey", salt=4, **stats)
     return (
         j.groupBy(F.col("c_nationkey").alias("nk"))
         .agg(

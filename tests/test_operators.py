@@ -487,10 +487,69 @@ def test_choose_join_strategy_measured_regimes():
     # tiny hot partition (under the 30 MB floor): skew can't dominate
     # a stage's critical path — plain even at a 90% share
     assert choose_join_strategy(100 * MB, 20 * MB, 0.9) == "plain"
+    # (e) the AQE branch needs BOTH preconditions (round-14 ADVICE):
+    # a >=256 MB hot partition whose share is under skewedPartition-
+    # Factor (5x) times the even share will NOT be split by AQE — a
+    # 4.2x-median hot key at 330 MB routes to salted, not plain
+    assert choose_join_strategy(100 * MB, 2500 * MB, 0.13) == "salted"
+    # ...and uniformly-large partitions (share ~ even) stay plain via
+    # the healthy-spread exit, not via a vacuous AQE promise
+    assert choose_join_strategy(100 * MB, 16_000 * MB, 1 / 25) == "plain"
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         choose_join_strategy(100 * MB, 100 * MB, 1.5)
+
+
+def test_skew_aware_join_dispatches_regimes(spark):
+    """choose_join_strategy's live caller (round-14 verdict task 5):
+    the stats decide the physical shape — broadcast stats plan a
+    BroadcastHashJoin, salted stats produce the salt shape (and the
+    same rows as a plain join), plain stats a shuffled join with no
+    salt column."""
+    from gazelle_plugin_spark.operators.exchange import skew_aware_join
+
+    MB = 2**20
+    fact = spark.range(0, 5_000).selectExpr("id % 7 as k", "id as payload")
+    dim = spark.range(0, 7).selectExpr("id as rk", "concat('d', id) as label")
+    expect = sorted(
+        (r.k, r.payload, r.label)
+        for r in fact.join(dim, fact.k == dim.rk, "inner").collect()
+    )
+
+    def rows(df):
+        return sorted((r.k, r.payload, r.label) for r in df.collect())
+
+    bcast = skew_aware_join(
+        fact, dim, "k", "rk",
+        dim_bytes=1 * MB, fact_bytes=600 * MB, hot_key_share=0.9,
+    )
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+    assert rows(bcast) == expect
+
+    salted = skew_aware_join(
+        fact, dim, "k", "rk",
+        dim_bytes=100 * MB, fact_bytes=100 * MB, hot_key_share=0.9, salt=4,
+    )
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "__gazelle_salt" in plan  # the salt shape is in the plan
+    assert rows(salted) == expect
+
+    plain = skew_aware_join(
+        fact, dim, "k", "rk",
+        dim_bytes=100 * MB, fact_bytes=6000 * MB, hot_key_share=1 / 32,
+    )
+    assert "__gazelle_salt" not in plain._jdf.queryExecution().optimizedPlan().toString()
+    assert rows(plain) == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how="):
+        skew_aware_join(
+            fact, dim, "k", "rk",
+            dim_bytes=1 * MB, fact_bytes=1 * MB, hot_key_share=0.5,
+            how="full_outer",
+        )
 
 
 def test_merge_upsert_partitions_the_keyspace(spark):

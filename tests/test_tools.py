@@ -191,3 +191,38 @@ def test_bench_rejects_unknown_flags(monkeypatch, capsys):
     with pytest.raises(SystemExit) as exc:
         bench.main()
     assert exc.value.code == 2
+
+
+def test_scale_bench_growth_report_refuses_vacuous():
+    """The vacuity guard (round-14 verdict task 2): growth verdicts
+    are refused — not computed — when any scale point's output was
+    empty or predates the row-count schema; healthy series carry
+    first->last growth factors."""
+    sb = _load("scale_bench")
+
+    def pt(docs, name_rows):
+        return {
+            "sf_dir": f"d{docs}",
+            "docs": docs,
+            "queries": {
+                n: {"sec": docs / 1000, "shuffle_bytes": docs * 10, **extra}
+                for n, extra in name_rows.items()
+            },
+        }
+
+    lines = [
+        pt(1000, {"ok_q": {"rows": 5}, "vac_q": {"rows": 7}, "old_q": {}}),
+        pt(3000, {"ok_q": {"rows": 15}, "vac_q": {"rows": 0}, "old_q": {}}),
+    ]
+    rep = sb.growth_report(lines)
+    assert rep["ok_q"]["verdict"] == "ok"
+    assert rep["ok_q"]["docs_x"] == 3.0
+    assert rep["ok_q"]["bytes_x"] == 3.0
+    assert rep["ok_q"]["rows_x"] == 3.0
+    # empty output at ANY point -> refused, naming the dir
+    assert rep["vac_q"]["verdict"] == "refused: vacuous-at d3000"
+    # pre-guard rows can't prove non-vacuity -> refused as well
+    assert rep["old_q"]["verdict"].startswith("refused: no-rowcount")
+    # a single scale point is never a growth verdict
+    rep = sb.growth_report(lines[:1])
+    assert rep["ok_q"]["verdict"] == "refused: <2 scale points"

@@ -17,6 +17,17 @@ later scale points don't ride earlier JIT warm-up). Appends one JSON
 line to the output file.
 
 Usage: python tools/scale_bench.py <out.jsonl> <scale_dir> [reps]
+       python tools/scale_bench.py --report <out.jsonl>
+
+Vacuity guard (round-14 verdict task 2): every measurement row records
+the query's RESULT ROW COUNT, and the --report mode refuses to issue a
+wall/bytes growth verdict for any query whose output is empty at any
+scale point — the exact trap that manufactured the r13 "x5.16
+superlinear" diagnosis for doc_ngram_jaccard (the fixed-vocab fixture
+saturated the shingle universe and the candidate side was vacuously
+empty beyond ~15k docs; SCALE.md round-14 CORRECTION). Rows measured
+before the guard existed carry no row count and are refused too — old
+evidence cannot prove it measured real work.
 
 The scale dir comes from tools/scale_fixtures.py (documents/
 embeddings/events) plus, for the relational star families,
@@ -98,7 +109,58 @@ def _shuffle_totals(stages: list[dict], seen: set) -> tuple[int, int]:
     return b, r
 
 
+def growth_report(lines: list[dict]) -> dict:
+    """Per-query growth verdicts across the jsonl's scale points,
+    smallest corpus first. A verdict is REFUSED — not computed — when
+    any scale point's output was empty ("refused: vacuous-at ...") or
+    predates the row-count schema ("refused: no-rowcount ..."): an
+    empty candidate relation measures window machinery, not the
+    operator (SCALE.md round-14 CORRECTION). With a verdict, the entry
+    carries first->last growth factors for docs / wall / shuffle bytes
+    / result rows so linearity is read off directly."""
+    pts = sorted((l for l in lines if l.get("queries")), key=lambda l: l.get("docs", 0))
+    names: list[str] = []
+    for p in pts:
+        names.extend(n for n in p["queries"] if n not in names)
+    out: dict[str, dict] = {}
+    for n in names:
+        series = [
+            (p["docs"], p["sf_dir"], p["queries"][n])
+            for p in pts
+            if "sec" in p["queries"].get(n, {})
+        ]
+        if len(series) < 2:
+            out[n] = {"verdict": "refused: <2 scale points"}
+            continue
+        vacuous = [d for _, d, q in series if q.get("rows") == 0]
+        no_count = [d for _, d, q in series if "rows" not in q]
+        if vacuous:
+            out[n] = {"verdict": f"refused: vacuous-at {','.join(vacuous)}"}
+            continue
+        if no_count:
+            out[n] = {"verdict": f"refused: no-rowcount {','.join(no_count)}"}
+            continue
+        (d0, _, q0), (d1, _, q1) = series[0], series[-1]
+
+        def x(a, b):
+            return round(b / a, 2) if a else None
+
+        out[n] = {
+            "verdict": "ok",
+            "docs_x": x(d0, d1),
+            "wall_x": x(q0["sec"], q1["sec"]),
+            "bytes_x": x(q0["shuffle_bytes"], q1["shuffle_bytes"]),
+            "rows_x": x(q0["rows"], q1["rows"]),
+        }
+    return out
+
+
 def main() -> None:
+    if sys.argv[1] == "--report":
+        with open(sys.argv[2]) as f:
+            lines = [json.loads(ln) for ln in f if ln.strip()]
+        print(json.dumps(growth_report(lines), indent=1))
+        return
     out_path, sf_dir = sys.argv[1], sys.argv[2]
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     from gazelle_plugin_spark.session import get_spark
@@ -134,9 +196,10 @@ def main() -> None:
         try:
             spark.sparkContext._jvm.System.gc()
             times = []
+            n_rows = 0
             for _ in range(reps):
                 t0 = time.perf_counter()
-                queries[name](spark, sf_dir).collect()
+                n_rows = len(queries[name](spark, sf_dir).collect())
                 times.append(time.perf_counter() - t0)
             sb, sr = _shuffle_totals(_ui_stages(spark), seen)
             results[name] = {
@@ -144,6 +207,9 @@ def main() -> None:
                 # reps identical plans: per-execution shuffle = total/reps
                 "shuffle_bytes": sb // reps,
                 "shuffle_records": sr // reps,
+                # the vacuity guard's evidence: a 0-row output means the
+                # measurement exercised none of the operator's real work
+                "rows": n_rows,
             }
         except Exception as exc:  # noqa: BLE001 - record and continue
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
