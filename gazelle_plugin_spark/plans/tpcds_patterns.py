@@ -1602,7 +1602,20 @@ def ds_month_flag_pivot(spark, sf_dir):
     filter pushes to its scan and every monthly sum is map-side
     combinable decimal addition, so the shuffled rows are
     (nation x year) grain, 12 decimals wide, regardless of fact
-    size."""
+    size.
+
+    Two-branch vs single-scan, MEASURED (round-14 verdict task 6): a
+    single-scan rewrite (l_linestatus joins the grouping key, then a
+    conditional re-agg) is result-identical but LOST in alternating
+    fresh-JVM pairs at both scales — sf0.1 medians 2.91/4.54s (two)
+    vs 4.58/5.37s (single); sf1 4.64/3.86s vs 4.80/6.37s
+    (.scratch/pivotbench.py, 5 reps each). The 12-way conditional
+    decimal aggregate dominates; halving fact IO buys less than the
+    wider 3-column hash key and doubled first-level group count cost.
+    The two-scan form stays ON PURPOSE with that number attached; the
+    trade would only reverse where the scan itself dominates (e.g.
+    cold object-store reads), which is a storage posture, not a plan
+    defect."""
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     zero = F.lit(0).cast("decimal(18,4)")
