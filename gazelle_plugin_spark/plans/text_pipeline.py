@@ -234,16 +234,19 @@ def doc_lang_id(spark, sf_dir):
     )
 
 
-def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: mh_i = min over shingles of
-    md5h60(shingle || '#i')."""
-    sh = _shingles(spark, sf_dir)
+def _minhash_sig_over(sh: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature over a shingle relation: mh_i = min
+    over shingles of md5h60(shingle || '#i')."""
     return sh.groupBy("doc_id").agg(
         *[
             F.min(md5h60(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"mh{i}")
             for i in range(N_HASHES)
         ]
     )
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_sig_over(_shingles(spark, sf_dir))
 
 
 _SQL_MINHASH = (
@@ -333,9 +336,23 @@ def _band_rows(mh: DataFrame) -> DataFrame:
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified (jaccard >= threshold) near-dup pairs, unordered —
     the shared plan under doc_minhash_neardup and
-    doc_neardup_components."""
-    sh = _shingles(spark, sf_dir)
-    mh = _minhash_sig(spark, sf_dir)
+    doc_neardup_components.
+
+    Both the shingle relation and the signature table are
+    localCheckpoint'd (lazily): without the cut, every reference —
+    the two self-join sides, the hot-bucket count, the size table and
+    the two verification sides — replays the whole corpus-scan +
+    tokenize + explode (+ 8x md5 for the signature paths) subtree,
+    16 parquet scans of ``documents`` in one plan (round-15 before
+    capture, plans/r15). With it the corpus is scanned once, the
+    shingle relation is materialized once and re-read, and the
+    signature table (n_docs x 8 longs, the guide-§8 "small proxy") is
+    computed once. At 100 TB the production form writes these proxies
+    out (the incremental variant's persisted band index); in-session
+    localCheckpoint is the same move, as doc_simhash_neardup and
+    operators/graph.py already document."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    mh = _minhash_sig_over(sh).localCheckpoint(eager=False)
     bands = _band_rows(mh)
     # Hot-band guard (operators/skew.py): a band signature shared by
     # more than MINHASH_BUCKET_CAP docs splits into hash-salted
@@ -430,9 +447,14 @@ def doc_incremental_dedup(spark, sf_dir):
     a bucketed table on the band signature), and the delta probe
     shuffles only the new shard. Verification joins shingles for
     candidate docs only, as doc_minhash_neardup. Output: every delta
-    doc with its base near-dup count and the keep/drop decision."""
-    sh = _shingles(spark, sf_dir)
-    mh = _minhash_sig(spark, sf_dir)
+    doc with its base near-dup count and the keep/drop decision.
+
+    Shingles and signatures are localCheckpoint'd (lazily) exactly as
+    in :func:`_neardup_pairs` — the un-cut plan replayed the corpus
+    scan 18x (round-15 before capture); at scale these proxies are the
+    materialized band index the docstring above describes."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    mh = _minhash_sig_over(sh).localCheckpoint(eager=False)
     bands = _band_rows(mh)
     is_delta = F.col("doc_id") % DELTA_MOD == 0
     # Hot-bucket guard, ASYMMETRIC flavor (operators/skew.py
