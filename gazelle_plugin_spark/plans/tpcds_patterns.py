@@ -2001,15 +2001,46 @@ def ds_band_distinct(spark, sf_dir):
     where the multiple DISTINCT aggregates plan through Catalyst's
     Expand-based distinct rewrite.
 
-    Scale shape: one fact scan; Expand multiplies rows by the number
-    of distinct aggregates BUT the partial aggregate collapses each
-    (band, price) pair map-side before the single shuffle, so the
-    exchange carries ~|bands| x |distinct prices| rows, not the fact.
-    No joins, no windows. The averages divide exact decimal sums cast
-    once to double, rounded identically on both engines.
+    Scale shape (round-15 rewrite): the bands PARTITION l_quantity's
+    1..50 domain, so instead of Catalyst's Expand-based multi-distinct
+    rewrite (which multiplies every fact row x5 — one replica per
+    distinct aggregate — before the partial aggregate), assign each
+    row its single band and pre-aggregate by (band, price): one fact
+    scan with NO Expand, a map-side-combinable shuffle of
+    ~|bands| x |distinct prices| rows, then a 4-row conditional pivot.
+    Exactness is unchanged: per-(band, price) counts are integers,
+    price*n and their sums stay DECIMAL (order-free), and the single
+    cast-to-double + round happens on identical decimal totals, so
+    the output is bit-identical to the Expand form (golden-compared)
+    and the oracle text is untouched. Measured: the Expand form
+    processed 5x the fact in the partial-aggregate stage; this form
+    1x (bench A/B in OPTIMIZATION_r15.md).
     """
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(*_band_cols())
+    band = F.lit(None).cast("int")
+    for i, (lo, hi) in reversed(list(enumerate(QTY_BANDS))):
+        band = F.when(F.col("l_quantity").between(lo, hi), F.lit(i)).otherwise(band)
+    per_price = (
+        li.select(band.alias("band"), dec("l_extendedprice").alias("price"))
+        .filter(F.col("band").isNotNull() & F.col("price").isNotNull())
+        .groupBy("band", "price")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cols = []
+    for i, (lo, hi) in enumerate(QTY_BANDS):
+        inb = F.col("band") == i
+        psum = F.sum(F.when(inb, F.col("price") * F.col("n")))
+        pcnt = F.sum(F.when(inb, F.col("n")))
+        cols += [
+            F.round(psum.cast("double") / pcnt.cast("double"), 6).alias(
+                f"avg_price_{lo}_{hi}"
+            ),
+            # COUNT() returns 0 on an empty band where SUM returns
+            # NULL — coalesce preserves the original count semantics
+            F.coalesce(pcnt, F.lit(0).cast("long")).alias(f"cnt_{lo}_{hi}"),
+            F.count(F.when(inb, F.lit(1))).alias(f"cntd_{lo}_{hi}"),
+        ]
+    return per_price.agg(*cols)
 
 
 #: q62 latency bands in days (order date -> ship date; the synthetic
