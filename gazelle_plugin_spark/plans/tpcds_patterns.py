@@ -2509,6 +2509,18 @@ def ds_join_chain(spark, sf_dir):
         .filter(cn.n_name != sn.n_name)
         .join(first_order, o.o_custkey == first_order.o_custkey)
         .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        # round 15: only the 1995/1996 slices feed the self-join, and
+        # the two sides' year filters differ, so without this
+        # restriction + the lineage cut below Spark computed the WHOLE
+        # 8-join fact chain TWICE — once per side (36 scan nodes in
+        # the before capture, plans/r15). Filtering the two years
+        # up front (pushed to the orders side) and localCheckpoint'ing
+        # the grouped relation runs the chain once over exactly the
+        # needed slice; the self-join then reads the materialized
+        # grouped rows. Result set is unchanged (the dropped years
+        # never reached the output) and the oracle keeps q64's
+        # textual CTE + self-join form.
+        .filter(F.year("o_orderdate").cast("int").isin(1995, 1996))
         .groupBy(
             F.col("p_name").alias("product_name"),
             F.col("p_partkey").alias("item_sk"),
@@ -2523,6 +2535,7 @@ def ds_join_chain(spark, sf_dir):
                 dec("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")
             ).cast("double").alias("s3"),
         )
+        .localCheckpoint(eager=False)
     )
     cs1 = cross_sales.filter(F.col("syear") == 1995).alias("cs1")
     cs2 = cross_sales.filter(F.col("syear") == 1996).alias("cs2")
