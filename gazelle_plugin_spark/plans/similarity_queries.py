@@ -10,7 +10,10 @@ Float determinism: dot products are computed as double-precision
 folds over the arrays in BOTH engines (float32 x float32 products are
 exact in double), and every similarity is rounded to 6 decimals
 before ranking/output — addition-order noise is ~1e-14, far below the
-rounding quantum, so Spark and DuckDB rank identically.
+rounding quantum, so Spark and DuckDB rank identically. The SemDeDup
+pair stage evaluates the same left-fold vectorized in numpy
+(dimension-ordered accumulation — bit-identical IEEE steps, see
+:func:`_semdedup_group_dropped`).
 
 Scale notes (100 TB / billions of vectors):
 - brute-force top-k broadcasts the BOUNDED query set (here 5 vectors)
@@ -28,6 +31,7 @@ Scale notes (100 TB / billions of vectors):
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1047,6 +1051,74 @@ SEMDEDUP_COS = 0.30
 #: pathological cell's single-task pair cost to ~cap^2.
 SEMDEDUP_BUCKET_CAP = 4096
 
+
+def _round_ge_threshold(tau: float, decimals: int) -> float:
+    """Smallest double ``x`` with ``F.round(x, decimals) >= tau``, for
+    a ``tau`` that is itself exact at ``decimals`` decimals.
+
+    Spark's Round on DoubleType is ``BigDecimal.valueOf(x).setScale(
+    decimals, HALF_UP)`` — it rounds the SHORTEST-DECIMAL-REPR of the
+    double (Java ``Double.toString``), not its exact binary value.
+    HALF_UP gives ``round(d) >= tau  <=>  d >= tau - 0.5*10^-decimals``
+    compared AS DECIMALS, and because shortest reprs are strictly
+    ordered with their doubles, that decimal comparison is equivalent
+    to one double comparison ``x >= t0``. Python ``repr`` produces the
+    same shortest decimal as Java's ``Double.toString`` (both emit the
+    minimal uniquely-roundtripping digits), so ``t0`` is found by an
+    ulp walk around ``float(tau - 0.5*10^-decimals)``; the equivalence
+    against the live JVM is pinned over a +-300-ulp window in
+    tests/test_pipelines.py (test_semdedup_round_threshold_pin).
+    """
+    c = Decimal(repr(tau)) - Decimal(5).scaleb(-(decimals + 1))
+    t = float(c)
+    while Decimal(repr(math.nextafter(t, -math.inf))) >= c:
+        t = math.nextafter(t, -math.inf)
+    while Decimal(repr(t)) < c:
+        t = math.nextafter(t, math.inf)
+    return t
+
+
+#: Exact double threshold equivalent to the declared predicate
+#: ``F.round(cos, SIM_DECIMALS) >= SEMDEDUP_COS`` (= the oracle's
+#: ``ROUND(..., 6) >= 0.30``): comparing the UNROUNDED cosine against
+#: this constant selects bit-for-bit the same pairs, so the vectorized
+#: pair stage below never has to reproduce BigDecimal rounding.
+_SEMDEDUP_COS_GE = _round_ge_threshold(SEMDEDUP_COS, SIM_DECIMALS)
+
+
+def _semdedup_group_dropped(pdf):
+    """Per-(cell, sub) pair comparison, vectorized (numpy): return the
+    vec_ids dropped inside ONE SemDeDup cell — those with a LOWER-id
+    row in the same cell whose cosine passes the threshold.
+
+    Bit-identical to the JVM pair join + ``_dot`` fold it replaces:
+    the dot matrix is accumulated dimension-by-dimension
+    (``acc += outer(col_j, col_j)``), which performs, per pair, the
+    exact left-fold ``((0 + p_1) + p_2) + ...`` in array order that
+    ``F.aggregate(F.zip_with(...))`` performs (float32 products are
+    exact in double; double additions happen in the same order, so
+    every IEEE rounding step matches). The threshold compare uses
+    ``_SEMDEDUP_COS_GE`` (see :func:`_round_ge_threshold`), so the
+    rounded-predicate semantics are preserved without rounding.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) < 2:
+        return pdf.iloc[0:0][["vec_id"]]
+    ids = pdf["vec_id"].to_numpy()
+    order = ids.argsort(kind="stable")
+    ids = ids[order]
+    emb = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+    n2 = pdf["n2"].to_numpy()[order]
+    dots = np.zeros((len(ids), len(ids)))
+    for j in range(emb.shape[1]):
+        col = emb[:, j]
+        dots += np.multiply.outer(col, col)
+    cos = dots / np.sqrt(np.multiply.outer(n2, n2))
+    hit = np.triu(cos >= _SEMDEDUP_COS_GE, 1).any(axis=0)
+    return pd.DataFrame({"vec_id": ids[hit]})
+
 #: Target rows per SemDeDup cell. The cell count is DERIVED FROM THE
 #: CORPUS: k = ceil(n / target), so within-cell pair cost is bounded
 #: at ~n * target no matter the corpus size — the r11 sf0.1->sf1
@@ -1218,11 +1290,14 @@ def emb_semdedup(spark, sf_dir):
     from O(k) to O(~3*sqrt(k)) so the flat variant's one superlinear
     COMPUTE term (n*k with k proportional to n) becomes ~n^1.5
     (measured: 26.5s -> 16.7s at the 20k-vector point). Every pass
-    stays a shuffle-free broadcast map. The pair comparison is an
-    equi-join ON THE CELL ID; because k grows with n, candidate cost
-    is bounded at ~n * target rows (measured x10.0 bytes at 10x
-    corpus — SCALE.md round-12); SEMDEDUP_BUCKET_CAP remains only as
-    a degenerate-cell backstop. Verified against the identical
+    stays a shuffle-free broadcast map. The pair comparison shuffles
+    each row once ON THE CELL ID and scores in-cell pairs vectorized
+    per group (applyInPandas, bit-identical fold — r15: 3.9 s of
+    interpreted JVM pair folds -> vectorized); because k grows with
+    n, candidate cost is bounded at ~n * target rows (measured x10.0
+    bytes at 10x corpus — SCALE.md round-12); SEMDEDUP_BUCKET_CAP
+    remains only as a degenerate-cell backstop. Verified against the
+    identical
     branch-selected clustering in DuckDB (the oracle carries both
     branches gated by the same k threshold — same rounding, same
     tie-breaks, same coalesce fallback).
@@ -1317,43 +1392,26 @@ def emb_semdedup(spark, sf_dir):
     # observed cluster sizes -> salt 0 everywhere on healthy data, so
     # the oracle needs no change).
     salted = cap_bucket(assign, ["c_label"], "vec_id", SEMDEDUP_BUCKET_CAP)
-    # The pair join is a SHUFFLE-HASH join on the cell id at EVERY
-    # scale (hint below): the corpus side can never be broadcast at
-    # production size, and without the hint the planner flips regime
-    # with corpus size (broadcast under the threshold, shuffle above),
-    # which showed up in the r12 scale study as a spurious superlinear
-    # bytes step — the exchange COUNT itself changed between scale
-    # points. Fixed-regime cost: each side shuffles |corpus| rows on
-    # (cell, sub) once, linear by construction; reduce-side
-    # parallelism is the cell count (k grows with the corpus, and
-    # cap_bucket sub-splits bound any one task's fold).
-    a = salted.select(
-        F.col("c_label"),
-        F.col("sub"),
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("ea"),
-        F.col("n2").alias("na"),
-    )
-    b = salted.select(
-        F.col("c_label").alias("cb"),
-        F.col("sub").alias("sub_b"),
-        F.col("vec_id").alias("v2"),
-        F.col("embedding").alias("eb"),
-        F.col("n2").alias("nb"),
-    ).hint("shuffle_hash")
-    pair_cos = F.round(
-        _dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), SIM_DECIMALS
-    )
+    # The pair comparison shuffles each corpus row ONCE on (cell, sub)
+    # and scores all in-cell pairs VECTORIZED in numpy per group
+    # (optimization guide §4.2 / §8): the r15 profile put 3.9 of the
+    # query's ~7.5 s in the former JVM self-join's 250k interpreted
+    # zip_with+aggregate folds (~16 us/pair, HOFs do not codegen).
+    # The applyInPandas form halves the shuffle (one side, not two),
+    # never materializes the |pairs| x 2x64-float join output, and
+    # computes the dot matrix at memory bandwidth — bit-identically
+    # (see _semdedup_group_dropped; pinned by
+    # tests/test_pipelines.py::test_semdedup_group_dropped_fold_identity).
+    # Fixed-regime cost at every scale: |corpus| rows cross the
+    # exchange and the Arrow boundary once; per-task pair work is
+    # bounded by cap_bucket at ~cap^2 vectorized flops; reduce-side
+    # parallelism is the cell count (k grows with the corpus). A
+    # vec_id appears in exactly ONE (cell, sub) group and each group
+    # emits it at most once, so no cross-group distinct is needed.
     dropped = (
-        a.join(
-            b,
-            (a.c_label == b.cb)
-            & (F.col("sub") == F.col("sub_b"))
-            & (F.col("v1") < F.col("v2")),
-        )
-        .filter(pair_cos >= SEMDEDUP_COS)
-        .select(F.col("v2").alias("vec_id"))
-        .distinct()
+        salted.select("c_label", "sub", "vec_id", "embedding", "n2")
+        .groupBy("c_label", "sub")
+        .applyInPandas(_semdedup_group_dropped, "vec_id long")
         .withColumn("is_dropped", F.lit(True))
     )
     return (

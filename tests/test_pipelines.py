@@ -517,3 +517,100 @@ def test_semdedup_routed_branch_matches_oracle(spark, tmp_path):
     pdf = sdf.toPandas()
     assert len(pdf) == n
     assert 1 < pdf.cell_id.nunique() <= k
+
+
+def test_semdedup_round_threshold_pin(spark):
+    """``_SEMDEDUP_COS_GE`` is EXACTLY the declared predicate
+    ``round(cos, 6) >= SEMDEDUP_COS`` on the live JVM: walk +-300 ulps
+    around the decimal boundary (tau - 0.5e-6) and assert the two
+    predicates agree on every double. Pins both the shortest-repr
+    HALF_UP rounding model in :func:`_round_ge_threshold` and the
+    Java ``Double.toString`` / Python ``repr`` decimal agreement the
+    derivation relies on."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gazelle_plugin_spark.plans import similarity_queries as simq
+
+    t0 = simq._SEMDEDUP_COS_GE
+    xs = [t0]
+    lo = hi = t0
+    for _ in range(300):
+        lo = math.nextafter(lo, -math.inf)
+        hi = math.nextafter(hi, math.inf)
+        xs += [lo, hi]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    rows = df.select(
+        "x",
+        (
+            F.round("x", simq.SIM_DECIMALS) >= F.lit(simq.SEMDEDUP_COS)
+        ).alias("jvm"),
+        (F.col("x") >= F.lit(t0)).alias("fast"),
+    ).collect()
+    bad = [r for r in rows if r.jvm != r.fast]
+    assert not bad, bad[:3]
+
+
+def test_semdedup_group_dropped_fold_identity(spark):
+    """The numpy dimension-ordered accumulation in
+    :func:`_semdedup_group_dropped` is bit-identical to the JVM
+    ``aggregate(zip_with(...))`` left fold it replaced: on random
+    float32 vectors spanning 4 orders of magnitude, every pairwise
+    cosine (dot, divide, and the n2 norms) matches the JVM value
+    EXACTLY (== on doubles), so the vectorized pair stage can never
+    flip a threshold decision the JVM form would not."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gazelle_plugin_spark.plans import similarity_queries as simq
+
+    rng = np.random.default_rng(7)
+    n = 40
+    emb = (
+        rng.standard_normal((n, 64))
+        * rng.choice([0.01, 1.0, 100.0], (n, 1))
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in emb[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = df.withColumn("n2", simq._dot("embedding", "embedding"))
+    a = v.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb"),
+    )
+    jvm_cos = {
+        (r.v1, r.v2): r.cos
+        for r in a.join(b, F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            (
+                simq._dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+        .collect()
+    }
+    jvm_n2 = {r.vec_id: r.n2 for r in v.select("vec_id", "n2").collect()}
+    # numpy side: the exact accumulation _semdedup_group_dropped uses
+    E = emb.astype(np.float64)
+    n2 = np.zeros(n)
+    dots = np.zeros((n, n))
+    for j in range(64):
+        col = E[:, j]
+        n2 += col * col
+        dots += np.multiply.outer(col, col)
+    cos = dots / np.sqrt(np.multiply.outer(n2, n2))
+    assert all(n2[i] == jvm_n2[i] for i in range(n))
+    assert len(jvm_cos) == n * (n - 1) // 2
+    bad = [
+        (i, j, cos[i, j], c)
+        for (i, j), c in jvm_cos.items()
+        if cos[i, j] != c
+    ]
+    assert not bad, bad[:3]
