@@ -762,6 +762,119 @@ PQ_SUB_DIM = 16
 PQ_K = 8
 
 
+def _round8_int64(v):
+    """Elementwise ``int64 n`` with ``n/1e8 == F.round(v, 8)`` for a
+    NONNEGATIVE float64 array — the vectorized twin of the
+    :func:`_km_dist2` per-term convention (round to 8dp, accumulate
+    as exact DECIMAL == accumulate the int64 numerators).
+
+    Fast path: ``floor(v*1e8 + 0.5)``. Spark's Round is BigDecimal
+    HALF_UP over the double's SHORTEST DECIMAL REPR, so values whose
+    scaled fraction sits within ``eps`` of the .5 midpoint — where
+    the one-multiply IEEE error of ``v*1e8`` (<= |f|*2^-53) or the
+    repr-vs-binary gap (<= half an ulp, same scale) could flip the
+    decision — are re-resolved exactly through the same
+    ``Decimal(repr(v))`` HALF_UP model the JVM applies (Python repr
+    and Java Double.toString emit the same shortest decimal; pinned
+    against the live JVM across magnitudes in
+    tests/test_pipelines.py::test_pq_round8_matches_jvm).
+    """
+    import numpy as np
+
+    f = v * 1e8
+    n = np.floor(f + 0.5)
+    frac_dist = np.abs(f - np.floor(f) - 0.5)
+    sus = frac_dist < (np.abs(f) * 1e-15 + 1e-9)
+    if sus.any():
+        from decimal import ROUND_HALF_UP
+
+        q = Decimal("1E-8")
+        nf = n.ravel()
+        vf = v.ravel()
+        for i in np.nonzero(sus.ravel())[0]:
+            nf[i] = float(
+                Decimal(repr(float(vf[i]))).quantize(q, ROUND_HALF_UP).scaleb(8)
+            )
+        n = nf.reshape(v.shape)
+    return n.astype(np.int64)
+
+
+def _pq_codes_group(corpus_pdf, cb_pdf):
+    """Vectorized per-bucket PQ code assignment: for every corpus
+    vector, the nearest codeword per subspace (argmin of the exact
+    rounded-decimal squared distance, ties to the lowest code) plus
+    the total reconstruction error as the int64 DECIMAL(·,8)
+    numerator.
+
+    Reproduces the JVM/oracle formulation exactly: ``(x-y)*(x-y)``
+    is the same IEEE double op sequence, per-term rounding matches
+    Spark's Round via :func:`_round8_int64`, and the DECIMAL sums
+    compare as exact int64 numerators, so argmin and tie-breaks can
+    never diverge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cols = ["vec_id", "c0", "c1", "c2", "c3", "err"]
+    if len(corpus_pdf) == 0:
+        return pd.DataFrame({c: [] for c in cols})
+    ids = corpus_pdf["vec_id"].to_numpy()
+    emb = np.stack(corpus_pdf["e"].to_numpy())
+    cb_ids = cb_pdf["vec_id"].to_numpy()
+    order = cb_ids.argsort(kind="stable")
+    cb_lbl = cb_ids[order]
+    cb = np.stack(cb_pdf["e"].to_numpy())[order]
+    out = {"vec_id": ids, "err": np.zeros(len(ids), dtype=np.int64)}
+    for s in range(PQ_M):
+        sl = slice(s * PQ_SUB_DIM, (s + 1) * PQ_SUB_DIM)
+        diff = emb[:, None, sl] - cb[None, :, sl]
+        d2 = _round8_int64(diff * diff).sum(axis=2)
+        sel = d2.argmin(axis=1)  # first min == lowest code label
+        out[f"c{s}"] = cb_lbl[sel].astype(np.int32)
+        out["err"] = out["err"] + d2[np.arange(len(ids)), sel]
+    return pd.DataFrame(out)[cols]
+
+
+def _pq_codes_wide(spark, vd, vd_cb):
+    """(vec_id, c0..c3, err) for every corpus vector — the shared
+    emb_pq / emb_ivfpq_search code-assignment build pass, vectorized
+    per corpus bucket (optimization guide §4.2): the former
+    explode+broadcast-join+window form evaluated |corpus| x PQ_M x
+    PQ_K interpreted :func:`_km_dist2` folds (~1M heavyweight
+    Round+DECIMAL ops at sf0.1, 1.4-1.5 s of each query's wall); here
+    the same arithmetic runs as a handful of numpy ops per bucket.
+    The corpus crosses ONE exchange at fixed width; the codebook (the
+    PQ_K lowest vec_ids — kilobytes) is replicated per bucket through
+    a broadcast, the cogroup analog of the broadcast join it
+    replaces. ``err`` is the exact int64 DECIMAL(·,8) numerator of
+    the oracle's SUM(d2). ``vd_cb`` must be an INDEPENDENTLY
+    constructed read of the same relation (fresh scan attributes —
+    the cogroup's two children may not share expression ids); its
+    ``vec_id < PQ_K`` filter pushes to the scan, so the second "scan"
+    reads 8 rows.
+    """
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    buckets = spark.range(width).select(F.col("id").cast("int").alias("b"))
+    corpus_b = vd.select(
+        F.pmod(F.col("vec_id"), F.lit(width)).cast("int").alias("b"),
+        "vec_id",
+        "e",
+    )
+    cb_b = (
+        vd_cb.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "e")
+        .crossJoin(F.broadcast(buckets))
+    )
+    return (
+        corpus_b.groupBy("b")
+        .cogroup(cb_b.groupBy("b"))
+        .applyInPandas(
+            _pq_codes_group,
+            "vec_id long, c0 int, c1 int, c2 int, c3 int, err long",
+        )
+    )
+
+
 @query(
     "emb_pq",
     oracle=f"""
@@ -812,50 +925,36 @@ def emb_pq(spark, sf_dir):
     update loop per subspace — same dataflow). Output: the {PQ_M}
     codes plus the exact total reconstruction error.
 
-    Scale shape: the corpus streams ONCE against the BROADCAST
-    codebook ({PQ_M} x {PQ_K} subvectors — kilobytes); the argmin per
-    (vector, subspace) is a WindowGroupLimit rank over {PQ_K} rows
-    inside the explode, and the fold back to one row per vector is a
-    combinable aggregate on vec_id — one shuffle on the corpus, no
-    all-pairs anything. Exact-decimal distance accumulation
-    (:func:`_km_dist2`) keeps Spark's array fold and the oracle's
-    relational SUM bit-identical.
+    Scale shape: the corpus crosses ONE fixed-width exchange and each
+    bucket scores against the BROADCAST codebook ({PQ_M} x {PQ_K}
+    subvectors — kilobytes) VECTORIZED in numpy
+    (:func:`_pq_codes_wide` — r15: the former explode + broadcast
+    join + WindowGroupLimit rank evaluated ~1M interpreted
+    Round+DECIMAL ops at sf0.1, 1.4-1.5 s of the query's ~2.6 s); no
+    all-pairs anything. The rounded-decimal distance convention
+    (:func:`_km_dist2`) is reproduced exactly on int64 numerators
+    (:func:`_round8_int64`), so codes, tie-breaks, and the error sum
+    stay bit-identical to the oracle's relational derivation.
     """
-    v = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
-    )
-
-    def explode_subs(df, id_alias):
-        return df.select(
-            F.col("vec_id").alias(id_alias),
-            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("sub"),
-            F.col("e"),
-        ).select(
-            id_alias,
-            "sub",
-            F.expr(f"slice(e, sub * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})").alias("sv"),
+    def _vd():
+        return t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
         )
 
-    corpus = explode_subs(v, "vec_id")
-    codebook = explode_subs(v.filter(F.col("vec_id") < PQ_K), "code").withColumnRenamed(
-        "sv", "cv"
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    assigned = (
-        corpus.join(F.broadcast(codebook), "sub")
-        .withColumn("d2", _km_dist2("sv", "cv"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-    )
-    code_cols = [
-        F.max(F.when(F.col("sub") == s, F.col("code")))
-        .cast("int")
-        .alias(f"c{s}")
-        for s in range(PQ_M)
-    ]
+    wide = _pq_codes_wide(spark, _vd(), _vd())
+    # CAST(SUM(DECIMAL(·,8)) AS DOUBLE) == exact-int64-numerator
+    # divided by 1e8 in ONE correctly-rounded IEEE division (both are
+    # the nearest double of the same rational).
     return (
-        assigned.groupBy("vec_id")
-        .agg(*code_cols, F.sum("d2").cast("double").alias("pq_err"))
+        wide.select(
+            "vec_id",
+            "c0",
+            "c1",
+            "c2",
+            "c3",
+            (F.col("err").cast("double") / F.lit(1e8)).alias("pq_err"),
+        )
         .orderBy("vec_id")
     )
 
@@ -941,9 +1040,12 @@ def emb_ivfpq_search(spark, sf_dir):
     broadcast; the code assignment is the emb_pq build pass; the
     search is a keyed join from probed cells to melted codes to the
     LUT followed by a combinable per-(query, vector) SUM and a top-k
-    rank. No raw embeddings move after the build. Exact-decimal
-    distance accumulation (:func:`_km_dist2`) keeps every distance
-    bit-identical to the oracle's relational derivation."""
+    rank. No raw embeddings move after the build. The code
+    assignment runs through the shared vectorized builder
+    (:func:`_pq_codes_wide`, exact int64 twin of the decimal
+    convention); the LUT and the ADC sums stay exact DECIMALS in the
+    JVM (:func:`_km_dist2`), bit-identical to the oracle's
+    relational derivation."""
     v = _vectors(spark, sf_dir)
     vd = v.select(
         "vec_id",
@@ -968,7 +1070,30 @@ def emb_ivfpq_search(spark, sf_dir):
         .repartition(width, "vec_id")
     )
 
-    # PQ codes (emb_pq's build pass)
+    # PQ codes (emb_pq's build pass — the shared vectorized builder,
+    # see _pq_codes_wide), melted back to (vec_id, sub, code) for the
+    # LUT join. Codes are pure ints, so the Arrow boundary ships no
+    # float state; the ADC distances themselves stay exact DECIMALS
+    # summed in the JVM below.
+    vd_cb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    codes = _pq_codes_wide(spark, vd, vd_cb).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("int").alias("sub"),
+                        F.col(f"c{s}").cast("long").alias("code"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("sc"),
+    ).select("vec_id", F.col("sc.sub").alias("sub"), F.col("sc.code").alias("code"))
+
     def explode_subs(df, id_alias):
         return df.select(
             F.col("vec_id").alias(id_alias),
@@ -980,18 +1105,9 @@ def emb_ivfpq_search(spark, sf_dir):
             F.expr(f"slice(e, sub * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})").alias("sv"),
         )
 
-    corpus_subs = explode_subs(vd, "vec_id")
     codebook = explode_subs(
         vd.filter(F.col("vec_id") < PQ_K), "code"
     ).withColumnRenamed("sv", "cv")
-    w_code = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    codes = (
-        corpus_subs.join(F.broadcast(codebook), "sub")
-        .withColumn("d2", _km_dist2("sv", "cv"))
-        .withColumn("rk", F.row_number().over(w_code))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "sub", "code")
-    )
 
     # query-side: probe cells + ADC look-up tables
     q = v.filter(F.col("vec_id") < N_QUERIES).select(

@@ -50,6 +50,7 @@ _SPECIAL_OPS = (
     "Expand",
     "ArrowEvalPython",
     "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
     "MapInPandas",
     "ObjectHashAggregate",
     "SortAggregate",

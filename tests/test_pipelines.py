@@ -519,6 +519,42 @@ def test_semdedup_routed_branch_matches_oracle(spark, tmp_path):
     assert 1 < pdf.cell_id.nunique() <= k
 
 
+def test_pq_round8_matches_jvm(spark):
+    """:func:`_round8_int64` (the vectorized twin of the
+    ``round(·,8) -> DECIMAL`` convention in the PQ code build) equals
+    the live JVM's ``F.round(x, 8)`` on every probe double: ulp walks
+    around decimal midpoints at four magnitudes (forcing both the
+    fast floor path and the Decimal slow path), plus uniform random
+    values at each magnitude."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gazelle_plugin_spark.plans import similarity_queries as simq
+
+    rng = np.random.default_rng(11)
+    xs = []
+    for center in ("0.000000125", "1.234567885", "4001.000000005",
+                   "39999.999999985"):
+        c = float(center)
+        lo = hi = c
+        xs.append(c)
+        for _ in range(200):
+            lo = math.nextafter(lo, 0.0)
+            hi = math.nextafter(hi, math.inf)
+            xs += [lo, hi]
+        xs += list(rng.uniform(0, 2 * c, 200))
+    arr = np.array(xs, dtype=np.float64)
+    fast = simq._round8_int64(arr).astype(np.float64) / 1e8
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    jvm = [r.r for r in df.select(F.round("x", 8).alias("r")).collect()]
+    bad = [
+        (xs[i], fast[i], jvm[i]) for i in range(len(xs)) if fast[i] != jvm[i]
+    ]
+    assert not bad, bad[:3]
+
+
 def test_semdedup_round_threshold_pin(spark):
     """``_SEMDEDUP_COS_GE`` is EXACTLY the declared predicate
     ``round(cos, 6) >= SEMDEDUP_COS`` on the live JVM: walk +-300 ulps

@@ -28,8 +28,14 @@ BNLJ_ALLOWED = {
     "emb_ivf_search",
     # same bounded probe cross-join as emb_ivf_search (N_QUERIES x k
     # broadcast centroids); the candidate scoring itself is keyed
-    # joins (cell id, vec_id, (q_id, sub, code)) + a combinable SUM
+    # joins (cell id, vec_id, (q_id, sub, code)) + a combinable SUM.
+    # Also the PQ_K-row codebook replicated per corpus bucket through
+    # a broadcast cross-join (the cogrouped code build's analog of
+    # the broadcast hash join it replaced, _pq_codes_wide)
     "emb_ivfpq_search",
+    # the same bounded codebook-per-bucket broadcast cross-join
+    # (PQ_K x shuffle-width rows)
+    "emb_pq",
     # k broadcast centroids x corpus with rank-1 pruning (the same
     # bounded assignment cross-join as emb_centroid_assign); the pair
     # join itself is an equi-join on the cluster id
