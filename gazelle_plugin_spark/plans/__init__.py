@@ -77,49 +77,45 @@ def load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # flagship
     "q1",
-    # FRONTED per the changed-plan rule: doc_ngram_jaccard's plan
-    # gained the scaled DF cap + ppjoin length filter in round 14
-    # (text_pipeline.py:637-680) but its newest driver-oracle row is
-    # r11, pre-change. Changed plans jump the rotation queue.
-    "doc_ngram_jaccard",
-    # STALEST evidence next: the 27 remaining r09 tpcdsfull rows —
-    # exactly the rotation precomputed at r14 close. After this window
-    # no tpcdsfull row's newest green is older than r10.
-    "tpcdsfull_q15", "tpcdsfull_q16", "tpcdsfull_q21",
-    "tpcdsfull_q23a", "tpcdsfull_q25", "tpcdsfull_q29",
-    "tpcdsfull_q30", "tpcdsfull_q33", "tpcdsfull_q37",
-    "tpcdsfull_q40", "tpcdsfull_q45", "tpcdsfull_q48",
-    "tpcdsfull_q50", "tpcdsfull_q56", "tpcdsfull_q60",
-    "tpcdsfull_q62", "tpcdsfull_q69", "tpcdsfull_q71",
-    "tpcdsfull_q72", "tpcdsfull_q81", "tpcdsfull_q82",
-    "tpcdsfull_q84", "tpcdsfull_q86", "tpcdsfull_q88",
-    "tpcdsfull_q93", "tpcdsfull_q97", "tpcdsfull_q99",
-    # ... then 21 of the 46-row r10 cohort, curated as a family
-    # cross-section (the 7 r10 tpcdsfull rows finish that family's
-    # refresh; doc_/emb_/events_/expr_/q*/rel_/ssb keep the window
-    # representative). The remaining 25 r10 rows front the r16 window.
-    "tpcdsfull_q19", "tpcdsfull_q38", "tpcdsfull_q5",
-    "tpcdsfull_q87", "tpcdsfull_q94", "tpcdsfull_q95",
-    "tpcdsfull_q96",
-    "doc_lang_id", "doc_quality", "doc_simhash",
-    "doc_text_stats", "doc_token_counts",
-    "emb_topk_cosine", "events_lag_lead", "events_sessionize",
-    "expr_math", "expr_string", "q10",
-    "rel_cross_join",
-    # ds_double_exists is the stalest ds_ row (r10) and
-    # mm_byte_features the stalest mm_ row (r11): they keep the window
-    # a full family cross-section (test_sql_entry pins it).
-    "ds_double_exists", "mm_byte_features",
+    # FRONTED per the changed-plan rule (r14 verdict item 1; the r15
+    # verdict's item 1 names all 11): every plan function that
+    # materially changed in round 15 — the lineage cuts, the two
+    # Expand-elimination pre-aggregates, and the Arrow vectorizations —
+    # must be validated by the driver's own DuckDB hash gate this
+    # round. The r15 window was frozen at r14 close, so none of these
+    # new plans has driver-side evidence yet.
+    "emb_semdedup", "emb_pq", "emb_ivfpq_search",
+    "ds_band_distinct", "ds_join_chain", "ds_lochierarchy",
+    "ds_rollup_rank",
+    "doc_minhash_neardup", "doc_neardup_components",
+    "doc_incremental_dedup", "doc_cluster_dedup",
+    # FRONTED for round 16's own plan work (same rule, applied
+    # within-round): these queries' plan paths are optimization-round-2
+    # targets (doc_ngram_jaccard candidate-join tightening, ds_dual_rank
+    # rank pruning, rel_salted_join assert relocation), so any change
+    # they ship is hash-gated in the same round it lands.
+    "doc_ngram_jaccard", "ds_dual_rank", "rel_salted_join",
+    # STALEST evidence next: the 26 remaining r10 rows — exactly the
+    # rotation precomputed at r15 close. After this window no query's
+    # newest driver green is older than r11.
+    "dsv27_q10a", "dsv27_q11", "dsv27_q14a", "dsv27_q34",
+    "dsv27_q5a", "dsv27_q6", "dsv27_q67a", "dsv27_q70a",
+    "dsv27_q74", "dsv27_q75", "dsv27_q80a", "dsv27_q86a",
+    "q12", "q13", "q14", "q15", "q17", "q20",
+    "rel_collect", "rel_except", "rel_intersect",
+    "rel_union_distinct", "ssb2_2", "ssb3_2", "ssb3_3", "ssb4_2",
+    # ... fill with stalest r11 rows, curated for family coverage
+    # (events_/expr_ representatives are r11; mm_blob_stats is the
+    # stalest mm_ row, r12 — test_sql_entry pins the cross-section).
+    "doc_exact_dedup", "doc_winnow_fingerprint", "ds_except_churn",
+    "emb_lsh_topk", "events_funnel", "events_hourly",
+    "expr_hash", "expr_misc", "mm_blob_stats",
 )
-# Round-16 rotation plan (computed at r15 close): assuming this window
-# goes green, the stalest cohort is the 26 remaining r10 rows — front
-# them (plus any plan changed in round 15, per the changed-plan rule),
-# then fill with the stalest r11 rows:
-#   dsv27_q10a dsv27_q11 dsv27_q14a dsv27_q34 dsv27_q5a dsv27_q6
-#   dsv27_q67a dsv27_q70a dsv27_q74 dsv27_q75 dsv27_q80a dsv27_q86a
-#   q12 q13 q14 q15 q17 q20 rel_collect rel_except rel_intersect
-#   rel_union_distinct ssb2_2 ssb3_2 ssb3_3 ssb4_2
-#   (+ 22 stalest r11 rows, recompute at close)
+# Round-17 rotation plan (computed at r16 open): assuming this window
+# goes green, the stalest cohort is the 38 remaining r11 rows (front
+# any plan changed in round 16 first, per the changed-plan rule), then
+# fill with the stalest r12 rows; recompute at close from
+# CORRECTNESS_r*.json newest-green evidence.
 
 #: Window entries with NO DuckDB oracle. Empty since round 8:
 #: expr_hash_native — the last rows-only entry — now carries a VALUES
