@@ -18,8 +18,10 @@ Scale posture: every round shuffles the EDGE list and the LABEL table
 smaller than the corpus the graph was derived from), never the source
 data. ``localCheckpoint`` truncates lineage each round so round N
 does not replay rounds 1..N-1; swap for reliable ``checkpoint`` (HDFS
-/ object store) on a production cluster. The per-round convergence
-probe is a COUNT aggregate — no data is collected to the driver.
+/ object store) every few rounds on a production cluster (the full
+trade is decided in SCALE.md "Round-16: localCheckpoint at 100 TB").
+The per-round convergence probe is a COUNT aggregate — no data is
+collected to the driver.
 """
 
 from __future__ import annotations

@@ -449,6 +449,18 @@ def rel_percentile(spark, sf_dir):
     )
 
 
+#: The 100 TB posture rel_salted_join demonstrates: a 100 MB dim (over
+#: the broadcast fence) and a 180 MB hot partition (600 MB fact x 0.3
+#: share — under AQE's 256 MB split threshold, so OptimizeSkewedJoin
+#: never fires). choose_join_strategy resolves these to "salted";
+#: tests/test_operators.py pins that regime against this constant.
+REL_SALTED_STATS = {
+    "dim_bytes": 100 * 2**20,
+    "fact_bytes": 600 * 2**20,
+    "hot_key_share": 0.3,
+}
+
+
 @query(
     "rel_salted_join",
     oracle="""
@@ -474,22 +486,19 @@ def rel_salted_join(spark, sf_dir):
     OptimizeSkewedJoin never fires) — which choose_join_strategy
     resolves to "salted"; the dispatched physical plan is identical
     to the former direct salted_join(salt=4) call."""
-    from gazelle_plugin_spark.operators.exchange import (
-        choose_join_strategy,
-        skew_aware_join,
-    )
+    from gazelle_plugin_spark.operators.exchange import skew_aware_join
 
     c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
     s = t(spark, sf_dir, "supplier")
-    # the regime these stats encode is pinned: a mid-band hot key the
-    # AQE split cannot rescue -> "salted" (same plan as before)
-    stats = {
-        "dim_bytes": 100 * 2**20,
-        "fact_bytes": 600 * 2**20,
-        "hot_key_share": 0.3,
-    }
-    assert choose_join_strategy(**stats) == "salted"
-    j = skew_aware_join(c, s, "c_nationkey", "s_nationkey", salt=4, **stats)
+    # the regime these stats encode is pinned IN TESTS (tests/
+    # test_operators.py::test_salted_join_query_stats_pin), not here:
+    # a query-path assert would turn a future retune of
+    # choose_join_strategy's constants into a runtime crash of a
+    # correct query (r15 verdict item 9). REL_SALTED_STATS is shared
+    # with that test so the pin can never drift from the query.
+    j = skew_aware_join(
+        c, s, "c_nationkey", "s_nationkey", salt=4, **REL_SALTED_STATS
+    )
     return (
         j.groupBy(F.col("c_nationkey").alias("nk"))
         .agg(

@@ -762,6 +762,19 @@ PQ_SUB_DIM = 16
 PQ_K = 8
 
 
+def _shuffle_width(spark) -> int:
+    """Bucket width for the cogrouped numpy kernels: the session's
+    ``spark.sql.shuffle.partitions`` (so the kernel fan-out tracks the
+    same scale knob every other exchange uses — no local[32]
+    hard-coding), falling back to ``defaultParallelism`` when the conf
+    is non-numeric (e.g. ``auto`` on platforms that let a resource
+    manager size it; r15 ADVICE)."""
+    try:
+        return max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        return max(1, spark.sparkContext.defaultParallelism)
+
+
 def _round8_int64(v):
     """Elementwise ``int64 n`` with ``n/1e8 == F.round(v, 8)`` for a
     NONNEGATIVE float64 array — the vectorized twin of the
@@ -815,7 +828,7 @@ def _pq_codes_group(corpus_pdf, cb_pdf):
     import numpy as np
     import pandas as pd
 
-    cols = ["vec_id", "c0", "c1", "c2", "c3", "err"]
+    cols = ["vec_id", *(f"c{s}" for s in range(PQ_M)), "err"]
     if len(corpus_pdf) == 0:
         return pd.DataFrame({c: [] for c in cols})
     ids = corpus_pdf["vec_id"].to_numpy()
@@ -832,6 +845,13 @@ def _pq_codes_group(corpus_pdf, cb_pdf):
         sel = d2.argmin(axis=1)  # first min == lowest code label
         out[f"c{s}"] = cb_lbl[sel].astype(np.int32)
         out["err"] = out["err"] + d2[np.arange(len(ids)), sel]
+    # int64-numerator domain guard: err/1e8 reconstructs the oracle's
+    # CAST(SUM(DECIMAL(20,8)) AS DOUBLE) bit-identically only while
+    # |err| < 2^52 (one exact long->double cast + one correctly-rounded
+    # division); beyond that the cast itself rounds and the identity
+    # argument breaks (r15 ADVICE). Unit-norm embeddings keep err tiny;
+    # fail loudly rather than drift if the fixtures ever change.
+    assert int(np.abs(out["err"]).max()) < 2**52, "pq err numerator overflow"
     return pd.DataFrame(out)[cols]
 
 
@@ -853,7 +873,7 @@ def _pq_codes_wide(spark, vd, vd_cb):
     ``vec_id < PQ_K`` filter pushes to the scan, so the second "scan"
     reads 8 rows.
     """
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = _shuffle_width(spark)
     buckets = spark.range(width).select(F.col("id").cast("int").alias("b"))
     corpus_b = vd.select(
         F.pmod(F.col("vec_id"), F.lit(width)).cast("int").alias("b"),
@@ -865,13 +885,13 @@ def _pq_codes_wide(spark, vd, vd_cb):
         .select("vec_id", "e")
         .crossJoin(F.broadcast(buckets))
     )
+    schema = ", ".join(
+        ["vec_id long", *(f"c{s} int" for s in range(PQ_M)), "err long"]
+    )
     return (
         corpus_b.groupBy("b")
         .cogroup(cb_b.groupBy("b"))
-        .applyInPandas(
-            _pq_codes_group,
-            "vec_id long, c0 int, c1 int, c2 int, c3 int, err long",
-        )
+        .applyInPandas(_pq_codes_group, schema)
     )
 
 
@@ -945,7 +965,8 @@ def emb_pq(spark, sf_dir):
     wide = _pq_codes_wide(spark, _vd(), _vd())
     # CAST(SUM(DECIMAL(·,8)) AS DOUBLE) == exact-int64-numerator
     # divided by 1e8 in ONE correctly-rounded IEEE division (both are
-    # the nearest double of the same rational).
+    # the nearest double of the same rational) — valid while
+    # |err| < 2^52, which _pq_codes_group asserts per batch.
     return (
         wide.select(
             "vec_id",
@@ -1232,7 +1253,14 @@ def _semdedup_group_dropped(pdf):
         col = emb[:, j]
         dots += np.multiply.outer(col, col)
     cos = dots / np.sqrt(np.multiply.outer(n2, n2))
-    hit = np.triu(cos >= _SEMDEDUP_COS_GE, 1).any(axis=0)
+    # NaN edge (a zero-norm embedding makes cos 0/0 = NaN): Spark's
+    # nanSafeCompare and DuckDB's ordering both treat NaN as GREATER
+    # than any number, so the JVM predicate round(cos,6) >= tau was
+    # TRUE for NaN — mirror that explicitly (plain numpy >= is False
+    # for NaN). Unreachable on the unit-norm fixtures; kept so a
+    # regenerated corpus with a zero vector cannot silently diverge
+    # from the unchanged oracle (r15 ADVICE).
+    hit = np.triu(np.isnan(cos) | (cos >= _SEMDEDUP_COS_GE), 1).any(axis=0)
     return pd.DataFrame({"vec_id": ids[hit]})
 
 #: Target rows per SemDeDup cell. The cell count is DERIVED FROM THE

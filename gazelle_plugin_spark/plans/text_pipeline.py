@@ -350,7 +350,9 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once. At 100 TB the production form writes these proxies
     out (the incremental variant's persisted band index); in-session
     localCheckpoint is the same move, as doc_simhash_neardup and
-    operators/graph.py already document."""
+    operators/graph.py already document. Fault-tolerance trade (local
+    checkpoints are executor-local and not lineage-recoverable):
+    SCALE.md "Round-16: localCheckpoint at 100 TB"."""
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     mh = _minhash_sig_over(sh).localCheckpoint(eager=False)
     bands = _band_rows(mh)
