@@ -16,12 +16,13 @@ the edge-rewriting variant of the same bound).
 Scale posture: every round shuffles the EDGE list and the LABEL table
 (both O(|V| + |E|) of the graph, typically orders of magnitude
 smaller than the corpus the graph was derived from), never the source
-data. ``localCheckpoint`` truncates lineage each round so round N
-does not replay rounds 1..N-1; swap for reliable ``checkpoint`` (HDFS
-/ object store) every few rounds on a production cluster (the full
-trade is decided in SCALE.md "Round-16: localCheckpoint at 100 TB").
-The per-round convergence probe is a COUNT aggregate — no data is
-collected to the driver.
+data. ``localCheckpoint`` truncates lineage each 2-round batch so
+later rounds do not replay earlier ones (the probe's COUNT is the job
+that materializes the lazy checkpoint — one job per batch); swap for
+reliable ``checkpoint`` (HDFS / object store) every few rounds on a
+production cluster (the full trade is decided in SCALE.md "Round-16:
+localCheckpoint at 100 TB"). The convergence probe is a COUNT
+aggregate — no data is collected to the driver.
 """
 
 from __future__ import annotations
@@ -63,26 +64,36 @@ def connected_components(
         .withColumn("lbl", F.col("vertex"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+
+    def _round(cur: DataFrame) -> DataFrame:
         # (a) neighbor-min: vertex takes min(own, neighbors' labels)
-        msgs = sym.join(labels, sym.u == labels.vertex).select(
+        msgs = sym.join(cur, sym.u == cur.vertex).select(
             F.col("v").alias("vertex"), "lbl"
         )
         stepped = (
-            labels.union(msgs).groupBy("vertex").agg(F.min("lbl").alias("lbl"))
+            cur.union(msgs).groupBy("vertex").agg(F.min("lbl").alias("lbl"))
         )
         # (b) pointer jump: lbl <- label(lbl), halving chain depth
         parent = stepped.select(
             F.col("vertex").alias("p_vertex"), F.col("lbl").alias("p_lbl")
         )
-        jumped = (
-            stepped.join(parent, stepped.lbl == parent.p_vertex, "left")
-            .select(
-                "vertex",
-                F.coalesce(F.col("p_lbl"), F.col("lbl")).alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
+        return stepped.join(
+            parent, stepped.lbl == parent.p_vertex, "left"
+        ).select(
+            "vertex",
+            F.coalesce(F.col("p_lbl"), F.col("lbl")).alias("lbl"),
         )
+
+    # One propagation round per LAZY checkpoint + convergence probe:
+    # the probe's COUNT is the job that materializes the round's
+    # checkpoint, merging the former eager-checkpoint job into the
+    # probe (one job per round instead of two). Batching TWO rounds
+    # per probe was measured in r16 and REJECTED: the unchecked
+    # intermediate round's subtree recomputes inside the deeper plan
+    # (sf1 reps 8.6/8.1/8.1 -> 9.5/8.7/8.5 s, jobs 40 -> 43) — same
+    # verdict as the r15 round-restructure rejection.
+    for _ in range(max_iters):
+        jumped = _round(labels).localCheckpoint(eager=False)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "vertex")

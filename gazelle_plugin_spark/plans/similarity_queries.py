@@ -812,6 +812,170 @@ def _round8_int64(v):
     return n.astype(np.int64)
 
 
+def _round6_int64_signed(v):
+    """Elementwise ``int64 n`` with ``n/1e6 == F.round(v, SIM_DECIMALS)``
+    for a float64 array of EITHER sign — the cosine twin of
+    :func:`_round8_int64` (which is nonnegative-only). HALF_UP rounds
+    magnitudes AWAY FROM ZERO, so the signed fast path floors the
+    magnitude (``sign * floor(|v*1e6| + 0.5)``); midpoint-suspicious
+    values re-resolve through the same ``Decimal(repr(v))`` HALF_UP
+    model as the 8dp variant (Decimal ROUND_HALF_UP is away-from-zero,
+    exactly BigDecimal's HALF_UP). NaN (a zero-norm cosine) maps to
+    2^62 — GREATER than any real numerator — mirroring Spark's
+    nanSafeCompare / DuckDB's NaN-greatest ordering in the argmax these
+    numerators feed. Pinned against the live JVM in
+    tests/test_pipelines.py::test_round6_signed_matches_jvm.
+    """
+    import numpy as np
+
+    f = v * 1e6
+    af = np.abs(f)
+    n = np.sign(f) * np.floor(af + 0.5)
+    frac_dist = np.abs(af - np.floor(af) - 0.5)
+    sus = (frac_dist < (af * 1e-15 + 1e-9)) & np.isfinite(v)
+    if sus.any():
+        from decimal import ROUND_HALF_UP
+
+        q = Decimal("1E-6")
+        nf = n.ravel()
+        vf = v.ravel()
+        for i in np.nonzero(sus.ravel())[0]:
+            nf[i] = float(
+                Decimal(repr(float(vf[i]))).quantize(q, ROUND_HALF_UP).scaleb(6)
+            )
+        n = nf.reshape(v.shape)
+    nan = np.isnan(v)
+    if nan.any():
+        n = np.where(nan, float(2**62), n)
+    return n.astype(np.int64)
+
+
+def _argmax_centroid(rows_pdf, cand_pdf):
+    """Vectorized core of the routed-assignment kernels: for every row
+    of ``rows_pdf`` (vec_id, embedding, n2, ...), the ``c_label`` of
+    the ``cand_pdf`` (c_label, ce) candidate maximizing
+    ``round(dot/sqrt(n2*cn2), SIM_DECIMALS)``, ties to the LOWEST
+    label — bit-identical to the JVM
+    ``array_max(transform(cents, struct(round(cos), -label)))`` fold in
+    :func:`_nearest_centroid`:
+
+    - the dot matrix accumulates dimension-by-dimension
+      (``dots += outer(emb_j, ce_j)``), the exact per-pair left-fold
+      IEEE order of ``F.aggregate(F.zip_with(...))`` (float32 products
+      are exact in double);
+    - ``cn2`` re-folds in the same order as ``_dot(ce, ce)``;
+    - ``sqrt``/divide are single correctly-rounded ops on identical
+      inputs;
+    - rounding compares as exact int64 numerators
+      (:func:`_round6_int64_signed`) — distinct 6dp decimals in [-1,1]
+      never collide as doubles, so numerator argmax == rounded-double
+      argmax, and candidates sorted ascending by label make numpy's
+      first-max tie-break the JVM's lowest-label tie-break.
+    """
+    import numpy as np
+
+    lbl = cand_pdf["c_label"].to_numpy()
+    order = lbl.argsort(kind="stable")
+    lbl = lbl[order]
+    ce = np.stack(cand_pdf["ce"].to_numpy()[order]).astype(np.float64)
+    emb = np.stack(rows_pdf["embedding"].to_numpy()).astype(np.float64)
+    n2 = rows_pdf["n2"].to_numpy()
+    cn2 = np.zeros(len(lbl))
+    dots = np.zeros((len(n2), len(lbl)))
+    for j in range(ce.shape[1]):
+        cn2 += ce[:, j] * ce[:, j]
+        dots += np.multiply.outer(emb[:, j], ce[:, j])
+    cos = dots / np.sqrt(np.multiply.outer(n2, cn2))
+    num = _round6_int64_signed(cos)
+    return lbl[num.argmax(axis=1)]
+
+
+def _route_group(rows_pdf, cand_pdf):
+    """Cogroup kernel for the COARSE routing pass: emit every corpus
+    row with its routing group ``g`` (nearest coarse centroid)."""
+    import pandas as pd
+
+    if len(rows_pdf) == 0:
+        return pd.DataFrame(
+            {c: [] for c in ("vec_id", "g", "embedding", "n2")}
+        )
+    out = rows_pdf[["vec_id", "embedding", "n2"]].copy()
+    out.insert(1, "g", _argmax_centroid(rows_pdf, cand_pdf))
+    return out
+
+
+def _assign_group(rows_pdf, cand_pdf):
+    """Cogroup kernel for the per-routing-group assignment pass: emit
+    every corpus row with the best in-group candidate, falling back to
+    the row's OWN group label when the group has no candidates — the
+    same coalesce guard as :func:`_nearest_centroid_grouped`'s LEFT
+    join (a cogroup key present only on the rows side arrives here
+    with an empty ``cand_pdf``)."""
+    import pandas as pd
+
+    if len(rows_pdf) == 0:
+        return pd.DataFrame(
+            {c: [] for c in ("vec_id", "c_label", "embedding", "n2")}
+        )
+    out = rows_pdf[["vec_id", "embedding", "n2"]].copy()
+    if len(cand_pdf) == 0:
+        out.insert(1, "c_label", rows_pdf["g"].to_numpy())
+    else:
+        out.insert(1, "c_label", _argmax_centroid(rows_pdf, cand_pdf))
+    return out[["vec_id", "c_label", "embedding", "n2"]]
+
+
+_ROUTE_SCHEMA = "vec_id long, g long, embedding array<float>, n2 double"
+_ASSIGN_SCHEMA = "vec_id long, c_label long, embedding array<float>, n2 double"
+
+
+def _route_vec(spark, rows, coarse, width):
+    """Vectorized :func:`_nearest_centroid` for the ROUTED branch's
+    coarse pass (guide §4.2, the `_pq_codes_wide` shape): ``rows``
+    (vec_id, embedding, n2) cross one fixed-width exchange bucketed by
+    ``pmod(vec_id, width)``; the ``coarse`` relation (s = ceil(sqrt(k))
+    centroids — the small side at every scale) replicates per bucket
+    through a broadcast. Replaces O(|rows| * s) interpreted zip_with/
+    aggregate cosine folds with numpy at memory bandwidth."""
+    buckets = spark.range(width).select(F.col("id").cast("int").alias("b"))
+    b_rows = rows.select(
+        F.pmod(F.col("vec_id"), F.lit(width)).cast("int").alias("b"),
+        "vec_id",
+        "embedding",
+        "n2",
+    )
+    b_cand = coarse.select("c_label", "ce").crossJoin(F.broadcast(buckets))
+    return (
+        b_rows.groupBy("b")
+        .cogroup(b_cand.groupBy("b"))
+        .applyInPandas(_route_group, _ROUTE_SCHEMA)
+    )
+
+
+def _grouped_assign_vec(spark, rows_g, cand_g, subw):
+    """Vectorized :func:`_nearest_centroid_grouped`: corpus rows carry
+    their routing group ``g``; candidates replicate only across their
+    OWN group's ``subw`` sub-buckets (not the full width — the cogroup
+    analog of the per-group broadcast join it replaces, with strictly
+    less replication than a broadcast at large k). ``subw`` sub-buckets
+    per group restore reduce-side parallelism when the group count is
+    below the session width."""
+    subs = spark.range(subw).select(F.col("id").cast("int").alias("sub"))
+    b_rows = rows_g.select(
+        "g",
+        F.pmod(F.col("vec_id"), F.lit(subw)).cast("int").alias("sub"),
+        "vec_id",
+        "embedding",
+        "n2",
+    )
+    b_cand = cand_g.select("g", "c_label", "ce").crossJoin(F.broadcast(subs))
+    return (
+        b_rows.groupBy("g", "sub")
+        .cogroup(b_cand.groupBy("g", "sub"))
+        .applyInPandas(_assign_group, _ASSIGN_SCHEMA)
+    )
+
+
 def _pq_codes_group(corpus_pdf, cb_pdf):
     """Vectorized per-bucket PQ code assignment: for every corpus
     vector, the nearest codeword per subspace (argmin of the exact
@@ -1429,12 +1593,15 @@ def emb_semdedup(spark, sf_dir):
     more than they save at small k); at or above it assignment is
     TWO-LEVEL — every vector first routes to its nearest of
     ceil(sqrt(k)) COARSE centroids (the lowest-id seeds), then ranks
-    only the candidates sharing that routing group
-    (:func:`_nearest_centroid_grouped`), dropping per-row fold cost
-    from O(k) to O(~3*sqrt(k)) so the flat variant's one superlinear
-    COMPUTE term (n*k with k proportional to n) becomes ~n^1.5
-    (measured: 26.5s -> 16.7s at the 20k-vector point). Every pass
-    stays a shuffle-free broadcast map. The pair comparison shuffles
+    only the candidates sharing that routing group, dropping per-row
+    fold cost from O(k) to O(~3*sqrt(k)) so the flat variant's one
+    superlinear COMPUTE term (n*k with k proportional to n) becomes
+    ~n^1.5 (measured: 26.5s -> 16.7s at the 20k-vector point). Since
+    r16 every routed pass is VECTORIZED (:func:`_route_vec` /
+    :func:`_grouped_assign_vec` — one fixed-width exchange + a numpy
+    cogroup kernel each, bit-identical to the former
+    :func:`_nearest_centroid_grouped` folds, which remain as the
+    JVM reference the kernels are pinned against). The pair comparison shuffles
     each row once ON THE CELL ID and scores in-cell pairs vectorized
     per group (applyInPandas, bit-identical fold — r15: 3.9 s of
     interpreted JVM pair folds -> vectorized); because k grows with
@@ -1464,26 +1631,43 @@ def emb_semdedup(spark, sf_dir):
                 F.col("vec_id").alias("c_label"), F.col("embedding").alias("ce")
             )
         )
-        # route the corpus AND the seeds to their coarse group
-        v_route = _nearest_centroid(v, coarse).withColumnRenamed("c_label", "g")
-        seed_route = _nearest_centroid(
-            seeds.select(
-                F.col("c_label").alias("vec_id"),
-                F.col("ce").alias("embedding"),
-                _dot("ce", "ce").alias("n2"),
-            ),
+        # Route the corpus AND the seeds to their coarse group —
+        # VECTORIZED (r16, guide §4.2): the routed branch's three
+        # assignment passes were the query's remaining interpreted
+        # zip_with/aggregate folds (O(n*s) route + O(n*k/s) a0 +
+        # O(n*k/s) final, ~16 us each — assignment dominated the sf1
+        # wall after the r15 pair-stage fix). Each pass is now one
+        # fixed-width exchange + a numpy cogroup kernel with the
+        # _pq_codes_wide replication shape; cosines, rounding, and
+        # tie-breaks stay bit-identical (see _argmax_centroid).
+        # v_route feeds BOTH the a0 and final-assign passes, so it is
+        # lazily checkpointed — previously the route fold computed
+        # twice (r15 "Not yet optimized" #1; production: reliable
+        # checkpoint per SCALE.md "Round-16: localCheckpoint").
+        width = _shuffle_width(spark)
+        v_route = _route_vec(spark, v, coarse, width).localCheckpoint(
+            eager=False
+        )
+        seed_route = _route_vec(
+            spark,
+            v.orderBy("vec_id").limit(k).select("vec_id", "embedding", "n2"),
             coarse,
+            width,
         ).select(
             F.col("vec_id").alias("s_label"),
             F.col("embedding").alias("se"),
-            F.col("c_label").alias("g"),
+            "g",
         )
-        a0 = _nearest_centroid_grouped(
+        subw = max(1, math.ceil(width / s))
+        a0 = _grouped_assign_vec(
+            spark,
             v_route,
             seed_route.select(
-                F.col("s_label").alias("c_label"), F.col("se").alias("ce"), "g"
+                F.col("s_label").alias("c_label"),
+                F.col("se").alias("ce"),
+                "g",
             ),
-            "g",
+            subw,
         )
     else:
         a0 = _nearest_centroid(v, seeds)
@@ -1505,14 +1689,14 @@ def emb_semdedup(spark, sf_dir):
         # refined centroids inherit their seed's routing group, so the
         # final assignment is grouped too (a vector's cell stays
         # within its routing group — the a0 cell is always a
-        # candidate)
+        # candidate); same vectorized kernel as the a0 pass
         cent_g = cent.join(
             F.broadcast(
                 seed_route.select(F.col("s_label").alias("c_label"), "g")
             ),
             "c_label",
         )
-        assign = _nearest_centroid_grouped(v_route, cent_g, "g").select(
+        assign = _grouped_assign_vec(spark, v_route, cent_g, subw).select(
             "vec_id", "c_label", "embedding", "n2"
         )
     else:

@@ -650,3 +650,112 @@ def test_semdedup_group_dropped_fold_identity(spark):
         if cos[i, j] != c
     ]
     assert not bad, bad[:3]
+
+
+def test_round6_signed_matches_jvm(spark):
+    """:func:`_round6_int64_signed` (the SIGNED cosine-rounding twin of
+    ``_round8_int64``) equals the live JVM's ``F.round(x, 6)`` on every
+    probe double: ulp walks around decimal midpoints of BOTH signs at
+    several magnitudes (forcing the away-from-zero HALF_UP fast path
+    and the Decimal slow path), plus uniform randoms over the cosine
+    range [-1, 1] and larger magnitudes."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gazelle_plugin_spark.plans import similarity_queries as simq
+
+    rng = np.random.default_rng(13)
+    xs = []
+    for center in ("0.0000005", "0.2999995", "0.9999995", "7.1234565"):
+        for sgn in (1.0, -1.0):
+            c = sgn * float(center)
+            lo = hi = c
+            xs.append(c)
+            for _ in range(200):
+                lo = math.nextafter(lo, -math.inf)
+                hi = math.nextafter(hi, math.inf)
+                xs += [lo, hi]
+    xs += list(rng.uniform(-1, 1, 400))
+    xs += list(rng.uniform(-50, 50, 200))
+    arr = np.array(xs, dtype=np.float64)
+    fast = simq._round6_int64_signed(arr).astype(np.float64) / 1e6
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    jvm = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    bad = [
+        (xs[i], fast[i], jvm[i]) for i in range(len(xs)) if fast[i] != jvm[i]
+    ]
+    assert not bad, bad[:3]
+
+
+def test_routed_assign_vec_matches_jvm(spark):
+    """The r16 vectorized routed-assignment kernels reproduce the JVM
+    reference folds EXACTLY on random float32 vectors:
+    :func:`_route_vec` == :func:`_nearest_centroid` (coarse pass) and
+    :func:`_grouped_assign_vec` == :func:`_nearest_centroid_grouped`
+    (per-group pass), including rounded-cosine ties (duplicate
+    candidate embeddings under different labels) and the
+    empty-routing-group coalesce-to-own-group fallback."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gazelle_plugin_spark.plans import similarity_queries as simq
+
+    rng = np.random.default_rng(23)
+    n = 120
+    emb = rng.standard_normal((n, 8)).astype(np.float32)
+    # duplicate embeddings -> exact cosine ties for the tie-break path
+    emb[7] = emb[3]
+    emb[11] = emb[3]
+    rows = [(i, [float(x) for x in emb[i]]) for i in range(n)]
+    v = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).withColumn("n2", simq._dot("embedding", "embedding"))
+
+    coarse = (
+        v.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("vec_id").alias("c_label"), F.col("embedding").alias("ce"))
+    )
+    ref_route = {
+        r.vec_id: r.c_label
+        for r in simq._nearest_centroid(v, coarse).collect()
+    }
+    got_route = {
+        r.vec_id: r.g for r in simq._route_vec(spark, v, coarse, 5).collect()
+    }
+    assert got_route == ref_route
+
+    # grouped pass: 12 candidates (3 of them byte-identical to force
+    # in-group ties), routed to coarse groups; group 3 gets NO
+    # candidates so the fallback path is exercised on real rows
+    cand_g = (
+        simq._nearest_centroid(
+            v.filter(F.col("vec_id") < 12).select("vec_id", "embedding", "n2"),
+            coarse,
+        )
+        .select(
+            F.col("vec_id").alias("cl"),
+            F.col("embedding").alias("ce"),
+            F.col("c_label").alias("g"),
+        )
+        .filter(F.col("g") != 3)
+        .select(F.col("cl").alias("c_label"), "ce", "g")
+    )
+    v_route = simq._route_vec(spark, v, coarse, 5)
+    ref_assign = {
+        r.vec_id: r.c_label
+        for r in simq._nearest_centroid_grouped(
+            v_route, cand_g, "g"
+        ).collect()
+    }
+    got_assign = {
+        r.vec_id: r.c_label
+        for r in simq._grouped_assign_vec(spark, v_route, cand_g, 3).collect()
+    }
+    assert got_assign == ref_assign
+    # the fallback really fired: every group-3 row kept its own group
+    g3 = [vid for vid, g in got_route.items() if g == 3]
+    if g3:
+        assert all(got_assign[vid] == 3 for vid in g3)
