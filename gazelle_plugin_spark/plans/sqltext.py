@@ -382,10 +382,20 @@ def normalize_output(df: DataFrame) -> DataFrame:
 
 
 def run_text(
-    spark: SparkSession, sf_dir: str, family: str, name: str, fitted: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    family: str,
+    name: str,
+    fitted: bool = False,
+    register: bool = True,
 ) -> DataFrame:
-    """Execute one reference SQL text over the compatibility views."""
-    register_views(spark, sf_dir, family)
+    """Execute one reference SQL text over the compatibility views.
+
+    ``register=False`` skips the (idempotent) view registration for
+    callers that registered once up front — e.g. the test sweeps'
+    concurrent prewarm, where per-call re-registration would race."""
+    if register:
+        register_views(spark, sf_dir, family)
     text = fitted_text(family, name) if fitted else load_text(family, name)
     return normalize_output(spark.sql(text))
 

@@ -596,9 +596,16 @@ def tpcds_fitted_text(name: str) -> str:
 
 
 def run_tpcds_text(
-    spark: SparkSession, sf_dir: str, name: str, fitted: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fitted: bool = False,
+    register: bool = True,
 ) -> DataFrame:
-    register_tpcds_views(spark, sf_dir)
+    # register=False: caller registered the (idempotent) views once up
+    # front — per-call re-registration would race in a threaded sweep
+    if register:
+        register_tpcds_views(spark, sf_dir)
     text = tpcds_fitted_text(name) if fitted else load_text(TPCDS_FAMILY, name)
     return normalize_output(spark.sql(text))
 

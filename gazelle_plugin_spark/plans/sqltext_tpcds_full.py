@@ -299,11 +299,18 @@ def fitted_full_text(name: str) -> str:
 
 
 def run_tpcds_full(
-    spark: SparkSession, sf_dir: str, name: str, fitted: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fitted: bool = False,
+    register: bool = True,
 ) -> DataFrame:
     """Execute one full-corpus reference text over the compatibility
-    catalog (byte-identical unless ``fitted``)."""
-    register_tpcds_views(spark, sf_dir)
+    catalog (byte-identical unless ``fitted``). ``register=False``:
+    caller registered the (idempotent) views once up front — per-call
+    re-registration would race in a threaded sweep."""
+    if register:
+        register_tpcds_views(spark, sf_dir)
     text = fitted_full_text(name) if fitted else load_text(TPCDS_FULL_FAMILY, name)
     return normalize_output(spark.sql(text))
 

@@ -210,11 +210,18 @@ def fitted_v27_text(name: str) -> str:
 
 
 def run_tpcds_v27(
-    spark: SparkSession, sf_dir: str, name: str, fitted: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fitted: bool = False,
+    register: bool = True,
 ) -> DataFrame:
     """Execute one v2.7.0 reference text over the compatibility catalog
-    (byte-identical unless ``fitted``)."""
-    register_tpcds_views(spark, sf_dir)
+    (byte-identical unless ``fitted``). ``register=False``: caller
+    registered the (idempotent) views once up front — per-call
+    re-registration would race in a threaded sweep."""
+    if register:
+        register_tpcds_views(spark, sf_dir)
     text = fitted_v27_text(name) if fitted else load_text(TPCDS_V27_FAMILY, name)
     return normalize_output(spark.sql(text))
 

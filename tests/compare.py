@@ -26,7 +26,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_same(spark_df, duck_rel, name: str = "query") -> None:
-    a = normalize(spark_df.toPandas())
+    assert_same_pdf(spark_df.toPandas(), duck_rel, name)
+
+
+def assert_same_pdf(spark_pdf: pd.DataFrame, duck_rel, name: str = "query") -> None:
+    a = normalize(spark_pdf)
     b = normalize(duck_rel.df())
     assert list(a.columns) == list(b.columns), (
         f"{name}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"

@@ -19,6 +19,15 @@ def spark(tmp_path_factory):
         extra_confs={
             # managed-table warehouse (bucketed-table tests) in tmp
             "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+            # The suite session compiles thousands of generated classes
+            # across ~1800 tests; HotSpot's default 240 MB code cache
+            # fills mid-suite and JIT silently stops — the exact
+            # round-6 bench failure mode (bench.py JVM_OPTS). Same fix
+            # here, plus heap headroom over the 1g default so long
+            # sweeps don't run GC-bound. Applies because this fixture
+            # launches the process's first (only) JVM.
+            "spark.driver.memory": "4g",
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
         },
     )
     yield s

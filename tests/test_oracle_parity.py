@@ -7,20 +7,45 @@ from __future__ import annotations
 import pytest
 
 from gazelle_plugin_spark.plans import all_oracles, all_queries
-from tests.compare import assert_same
+from tests.compare import assert_same_pdf
 from tests.conftest import SF_MED
 
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
 
+@pytest.fixture(scope="session")
+def spark_results(spark):
+    """Concurrent prewarm of every query's Spark-side result (guide
+    2.6 overlap-independent-jobs: per-query wall at sf0.01 is mostly
+    plan/JVM latency, which threads hide). Results are pandas frames
+    (or the exception the query raised, re-raised in that query's own
+    test). The DuckDB side stays serial inside each test — one shared
+    connection, and it is not the bottleneck."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = sorted(QUERIES)
+
+    def run(name):
+        try:
+            df = QUERIES[name](spark, SF_MED)
+            return df.toPandas() if name in ORACLES else df.count()
+        except Exception as ex:  # noqa: BLE001 - surfaced in the query's test
+            return ex
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        return dict(zip(names, pool.map(run, names)))
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(name, spark, duck):
-    df = QUERIES[name](spark, SF_MED)
+def test_query_matches_oracle(name, spark_results, duck):
+    res = spark_results[name]
+    if isinstance(res, Exception):
+        raise res
     if name in ORACLES:
-        assert_same(df, duck.sql(ORACLES[name]), name)
+        assert_same_pdf(res, duck.sql(ORACLES[name]), name)
     else:
-        assert df.count() >= 0
+        assert res >= 0
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

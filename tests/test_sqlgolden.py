@@ -17,6 +17,8 @@ compares against the Spark results (pinned non-vacuity floor).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from gazelle_plugin_spark.plans import sqlgolden as g
@@ -737,9 +739,73 @@ def _session_for(spark, rel):
     return spark.newSession() if rel in g.DDL_FILES or rel == "udaf" else spark
 
 
+#: Statements that touch the SHARED catalog — persistent tables,
+#: databases, functions, global temp views. Files containing any of
+#: these must replay serially (their DDL collides across concurrent
+#: sessions); everything else only creates session-local temp views /
+#: UDFs and is safe in an isolated session per file.
+_CATALOG_DDL = re.compile(
+    r"\bCREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|DATABASE|SCHEMA|FUNCTION)\b"
+    r"|\bGLOBAL\s+TEMP\w*\b",
+    re.I,
+)
+
+
+def _parallel_safe(rel: str) -> bool:
+    if rel in g.DDL_FILES or rel == "udaf":
+        return False
+    return not any(_CATALOG_DDL.search(c.sql) for c in g.parse_out(rel))
+
+
+#: rel -> list[CaseResult] (or the exception its replay raised). One
+#: replay per file per suite run: test_golden_file and
+#: test_golden_corpus_counts read the same results — the counts test
+#: previously re-ran the whole 194-file sweep a second time (~10 min
+#: of the suite wall, VERIFY_r15's timeout — r15 verdict item 2).
+_RESULTS: dict[str, object] = {}
+
+
+@pytest.fixture(scope="session")
+def golden_results(spark):
+    """Accessor for memoized per-file replay results. On first use the
+    catalog-safe files replay CONCURRENTLY, each in its own isolated
+    newSession() (guide 2.6 overlap-independent-jobs: per-statement
+    wall is mostly JVM round-trip latency, which threads hide); files
+    whose statements touch the shared catalog replay serially on
+    demand, exactly as before."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _isolated(rel):
+        try:
+            return g.run_file(spark.newSession(), rel, SKIPS.get(rel, {}))
+        except Exception as ex:  # noqa: BLE001 - surfaced in the file's own test
+            return ex
+
+    if not _RESULTS:
+        safe = [rel for rel in FILES if _parallel_safe(rel)]
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            for rel, res in zip(safe, pool.map(_isolated, safe)):
+                _RESULTS[rel] = res
+
+    def get(rel: str):
+        if rel not in _RESULTS:
+            try:
+                _RESULTS[rel] = g.run_file(
+                    _session_for(spark, rel), rel, SKIPS.get(rel, {})
+                )
+            except Exception as ex:  # noqa: BLE001 - keep for the counts test
+                _RESULTS[rel] = ex
+        res = _RESULTS[rel]
+        if isinstance(res, Exception):
+            raise res
+        return res
+
+    return get
+
+
 @pytest.mark.parametrize("rel", FILES)
-def test_golden_file(spark, rel):
-    results = g.run_file(_session_for(spark, rel), rel, SKIPS.get(rel, {}))
+def test_golden_file(golden_results, rel):
+    results = golden_results(rel)
     bad = [r for r in results if r.status not in ("ok", "setup", "error_ok", "skipped")]
     assert not bad, [(r.status, r.case.key, r.detail) for r in bad]
     # non-vacuity: every file must compare values somewhere — or, for
@@ -749,7 +815,7 @@ def test_golden_file(spark, rel):
     )
 
 
-def test_golden_corpus_counts(spark):
+def test_golden_corpus_counts(golden_results):
     """Pin the sweep's aggregate shape so a silently-shrinking corpus
     or an over-eager skip list is caught: >=4300 value-compared
     statements, >=1200 pinned-error statements, and <=250 documented
@@ -761,7 +827,7 @@ def test_golden_corpus_counts(spark):
     61 one-class skips, the i-column statements)."""
     ok = setup = err = skipped = 0
     for rel in FILES:
-        for r in g.run_file(_session_for(spark, rel), rel, SKIPS.get(rel, {})):
+        for r in golden_results(rel):
             ok += r.status == "ok"
             setup += r.status == "setup"
             err += r.status == "error_ok"

@@ -50,8 +50,39 @@ def dsduck():
 _EMPTY_OK: set[str] = set()
 
 
-def _compare(spark, duck, name: str, fitted: bool) -> int:
-    s = dx.run_tpcds_text(spark, SF_MED, name, fitted=fitted).toPandas()
+#: (name, fitted) -> pandas frame or raised exception; concurrent
+#: once-per-module prewarm of the Spark side (guide 2.6) — views
+#: register once, serially, before the pool.
+_SPARK_PDFS: dict[tuple[str, bool], object] = {}
+
+
+@pytest.fixture(scope="module")
+def spark_pdfs(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not _SPARK_PDFS:
+        dx.register_tpcds_views(spark, SF_MED)
+        combos = [(n, f) for n in dx.TPCDS_NAMES for f in (False, True)]
+
+        def run(c):
+            n, fitted = c
+            try:
+                return dx.run_tpcds_text(
+                    spark, SF_MED, n, fitted=fitted, register=False
+                ).toPandas()
+            except Exception as ex:  # noqa: BLE001 - surfaced in the text's test
+                return ex
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            _SPARK_PDFS.update(zip(combos, pool.map(run, combos)))
+    return _SPARK_PDFS
+
+
+def _compare(spark_pdfs, duck, name: str, fitted: bool) -> int:
+    s = spark_pdfs[(name, fitted)]
+    if isinstance(s, Exception):
+        raise s
+    s = s.copy()
     d = duck.sql(dx.tpcds_oracle_sql(name, fitted=fitted)).df()
     assert len(s) == len(d), f"{name}: rows {len(s)} vs {len(d)}"
     assert len(s.columns) == len(d.columns)
@@ -78,13 +109,13 @@ def _compare(spark, duck, name: str, fitted: bool) -> int:
 
 
 @pytest.mark.parametrize("name", dx.TPCDS_NAMES)
-def test_verbatim_tpcds_text(spark, dsduck, name):
-    _compare(spark, dsduck, name, fitted=False)
+def test_verbatim_tpcds_text(spark_pdfs, dsduck, name):
+    _compare(spark_pdfs, dsduck, name, fitted=False)
 
 
 @pytest.mark.parametrize("name", dx.TPCDS_NAMES)
-def test_fitted_tpcds_text(spark, dsduck, name):
-    rows = _compare(spark, dsduck, name, fitted=True)
+def test_fitted_tpcds_text(spark_pdfs, dsduck, name):
+    rows = _compare(spark_pdfs, dsduck, name, fitted=True)
     if name not in _EMPTY_OK:
         assert rows > 0, f"{name}: fitted substitution is vacuous"
 

@@ -65,14 +65,49 @@ def dsduck():
     con.close()
 
 
-def _frames(spark, duck, name: str, fitted: bool):
-    s = fx.run_tpcds_full(spark, SF_MED, name, fitted=fitted).toPandas()
+#: (name, fitted) -> pandas frame (or raised exception): the Spark
+#: side of every compare, prewarmed CONCURRENTLY once per module (the
+#: per-text wall is mostly plan latency, which threads hide — guide
+#: 2.6). Views register once, serially, before the pool.
+_SPARK_PDFS: dict[tuple[str, bool], object] = {}
+
+
+@pytest.fixture(scope="module")
+def spark_pdfs(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gazelle_plugin_spark.plans.sqltext_tpcds import register_tpcds_views
+
+    if not _SPARK_PDFS:
+        register_tpcds_views(spark, SF_MED)
+        combos = [
+            (n, False) for n in fx.tpcds_full_names() if n not in fx.SKIP_SPARK
+        ] + [(n, True) for n in sorted(fx.TPCDS_FULL_FITTED_SUBS)]
+
+        def run(c):
+            n, fitted = c
+            try:
+                return fx.run_tpcds_full(
+                    spark, SF_MED, n, fitted=fitted, register=False
+                ).toPandas()
+            except Exception as ex:  # noqa: BLE001 - surfaced in the text's test
+                return ex
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            _SPARK_PDFS.update(zip(combos, pool.map(run, combos)))
+    return _SPARK_PDFS
+
+
+def _frames(spark_pdfs, duck, name: str, fitted: bool):
+    s = spark_pdfs[(name, fitted)]
+    if isinstance(s, Exception):
+        raise s
     d = duck.sql(fx.tpcds_full_oracle_sql(name, fitted=fitted)).df()
     return s, d
 
 
-def _compare(spark, duck, name: str, fitted: bool) -> int:
-    s, d = _frames(spark, duck, name, fitted)
+def _compare(spark_pdfs, duck, name: str, fitted: bool) -> int:
+    s, d = _frames(spark_pdfs, duck, name, fitted)
     assert len(s) == len(d), f"{name}: rows {len(s)} vs {len(d)}"
     assert len(s.columns) == len(d.columns)
     # positional labels on BOTH sides: q14b/q64 project both sides of
@@ -111,34 +146,34 @@ _SWEEP = [
 
 
 @pytest.mark.parametrize("name", _SWEEP)
-def test_verbatim_tpcds_full_text(spark, dsduck, name):
-    _compare(spark, dsduck, name, fitted=False)
+def test_verbatim_tpcds_full_text(spark_pdfs, dsduck, name):
+    _compare(spark_pdfs, dsduck, name, fitted=False)
 
 
 @pytest.mark.parametrize("name", sorted(fx.TPCDS_FULL_FITTED_SUBS))
-def test_fitted_tpcds_full_text(spark, dsduck, name):
+def test_fitted_tpcds_full_text(spark_pdfs, dsduck, name):
     if name in LIMIT_TIE:
         pytest.skip("LIMIT-tie row set divergence; see test_limit_tie_q75")
-    rows = _compare(spark, dsduck, name, fitted=True)
+    rows = _compare(spark_pdfs, dsduck, name, fitted=True)
     assert rows > 0, f"{name}: fitted substitution is vacuous"
 
 
 @pytest.mark.parametrize("name", sorted(EMPTY_ROLLUP_DIVERGENT))
-def test_empty_rollup_divergence_pinned(spark, dsduck, name):
+def test_empty_rollup_divergence_pinned(spark_pdfs, dsduck, name):
     """Verbatim q14a/q27/q36 filter to an EMPTY input at this scale;
     DuckDB emits the SQL-standard grand-total ROLLUP row, Spark emits
     none. Pin the exact divergence so an engine behavior change (or a
     catalog change that un-empties the input) is caught, not hidden."""
-    s, d = _frames(spark, dsduck, name, fitted=False)
+    s, d = _frames(spark_pdfs, dsduck, name, fitted=False)
     assert len(s) == 0, f"{name}: Spark input no longer empty — re-examine"
     assert len(d) == 1, f"{name}: DuckDB grand-total row behavior changed"
 
 
-def test_limit_tie_q75(spark, dsduck):
+def test_limit_tie_q75(spark_pdfs, dsduck):
     """q75 orders by a heavily-tied delta and LIMITs: the top-100 SET
     is engine-dependent at the tie boundary. Compare the stable parts:
     row count and the tie-key column totals."""
-    s, d = _frames(spark, dsduck, "q75", fitted=True)
+    s, d = _frames(spark_pdfs, dsduck, "q75", fitted=True)
     assert len(s) == len(d) > 0
     # sales_cnt_diff is the sort key: its multiset at the kept rows
     # must match (ties swap rows, not key values)

@@ -60,14 +60,47 @@ def dsduck():
     con.close()
 
 
-def _frames(spark, duck, name: str, fitted: bool):
-    s = fx.run_tpcds_v27(spark, SF_MED, name, fitted=fitted).toPandas()
+#: (name, fitted) -> pandas frame or raised exception; concurrent
+#: once-per-module prewarm of the Spark side (guide 2.6) — views
+#: register once, serially, before the pool.
+_SPARK_PDFS: dict[tuple[str, bool], object] = {}
+
+
+@pytest.fixture(scope="module")
+def spark_pdfs(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gazelle_plugin_spark.plans.sqltext_tpcds import register_tpcds_views
+
+    if not _SPARK_PDFS:
+        register_tpcds_views(spark, SF_MED)
+        combos = [(n, False) for n in fx.tpcds_v27_names() if n not in fx.SKIP_SPARK]
+        combos += [(n, True) for n in sorted(fx.TPCDS_V27_FITTED_SUBS)]
+
+        def run(c):
+            n, fitted = c
+            try:
+                return fx.run_tpcds_v27(
+                    spark, SF_MED, n, fitted=fitted, register=False
+                ).toPandas()
+            except Exception as ex:  # noqa: BLE001 - surfaced in the text's test
+                return ex
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            _SPARK_PDFS.update(zip(combos, pool.map(run, combos)))
+    return _SPARK_PDFS
+
+
+def _frames(spark_pdfs, duck, name: str, fitted: bool):
+    s = spark_pdfs[(name, fitted)]
+    if isinstance(s, Exception):
+        raise s
     d = duck.sql(fx.tpcds_v27_oracle_sql(name, fitted=fitted)).df()
     return s, d
 
 
-def _compare(spark, duck, name: str, fitted: bool) -> int:
-    s, d = _frames(spark, duck, name, fitted)
+def _compare(spark_pdfs, duck, name: str, fitted: bool) -> int:
+    s, d = _frames(spark_pdfs, duck, name, fitted)
     assert len(s) == len(d), f"{name}: rows {len(s)} vs {len(d)}"
     assert len(s.columns) == len(d.columns)
     # positional labels on BOTH sides: q14/q64 project both sides of a
@@ -102,13 +135,13 @@ _SWEEP = [n for n in fx.tpcds_v27_names() if n not in fx.SKIP_SPARK]
 
 
 @pytest.mark.parametrize("name", _SWEEP)
-def test_verbatim_tpcds_v27_text(spark, dsduck, name):
-    _compare(spark, dsduck, name, fitted=False)
+def test_verbatim_tpcds_v27_text(spark_pdfs, dsduck, name):
+    _compare(spark_pdfs, dsduck, name, fitted=False)
 
 
 @pytest.mark.parametrize("name", sorted(fx.TPCDS_V27_FITTED_SUBS))
-def test_fitted_tpcds_v27_text(spark, dsduck, name):
-    rows = _compare(spark, dsduck, name, fitted=True)
+def test_fitted_tpcds_v27_text(spark_pdfs, dsduck, name):
+    rows = _compare(spark_pdfs, dsduck, name, fitted=True)
     assert rows > 0, f"{name}: fitted substitution is vacuous"
 
 
