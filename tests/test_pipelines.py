@@ -113,6 +113,45 @@ def test_ngram_df_cap_schedule():
     assert ngram_df_cap(10_000_000) == 4  # floor: 100 TB posture
 
 
+def test_ngram_positional_filter_sound():
+    """The r16 ppjoin positional filter is LOSSLESS for J >= 0.8: for
+    random set pairs with true Jaccard >= 0.8 (shared global order),
+    every prefix match's overlap upper bound
+    min(i-1, j-1) + 1 + min(n1-i, n2-j) admits
+    9*ub >= 4*(n1+n2) — a qualifying pair is never dropped. Also pins
+    the bound's validity itself: ub >= |A^B| for every match."""
+    import random
+
+    rng = random.Random(16)
+    qualifying_checked = 0
+    for _ in range(500):
+        universe = list(range(200))
+        n1 = rng.randint(5, 60)
+        a = set(rng.sample(universe, n1))
+        # build b as a perturbation of a so high-J pairs occur often
+        b = set(a)
+        for _ in range(rng.randint(0, max(1, n1 // 4))):
+            if rng.random() < 0.5 and len(b) > 3:
+                b.discard(rng.choice(sorted(b)))
+            else:
+                b.add(rng.randrange(200))
+        inter = len(a & b)
+        jac = inter / len(a | b)
+        sa, sb = sorted(a), sorted(b)  # the shared global ordering
+        pos_a = {v: i + 1 for i, v in enumerate(sa)}
+        pos_b = {v: j + 1 for j, v in enumerate(sb)}
+        for v in a & b:
+            i, j = pos_a[v], pos_b[v]
+            ub = min(i - 1, j - 1) + 1 + min(len(sa) - i, len(sb) - j)
+            assert ub >= inter, "bound must overestimate the true overlap"
+            if jac >= 0.8:
+                assert 9 * ub >= 4 * (len(sa) + len(sb)), (
+                    f"filter dropped a qualifying match: J={jac:.3f}"
+                )
+                qualifying_checked += 1
+    assert qualifying_checked >= 100  # the property was exercised
+
+
 def test_ngram_jaccard_recall_at_aggressive_cap(spark, monkeypatch):
     """Recall floor RE-DERIVED at the floor cap (round-13 verdict
     task 1's 'or the floor must be re-derived'): force the in-plan
