@@ -892,13 +892,22 @@ def _argmax_centroid(rows_pdf, cand_pdf):
 
 def _route_group(rows_pdf, cand_pdf):
     """Cogroup kernel for the COARSE routing pass: emit every corpus
-    row with its routing group ``g`` (nearest coarse centroid)."""
+    row with its routing group ``g`` (nearest coarse centroid).
+
+    The empty-rows branch (a bucket holding only candidate rows —
+    reachable whenever the session's shuffle width exceeds the kernel
+    bucket width, e.g. vanilla's 200 partitions vs the engine's 32)
+    must keep the INPUT frame's Arrow-given dtypes: a bare
+    ``pd.DataFrame({col: []})`` defaults every column to float64 and
+    pyarrow cannot convert an empty float64 column to the declared
+    ``array<float>`` output type (NumPyConverter error — found by the
+    r16 sf1 vanilla bench run, pinned in tests/test_pipelines.py)."""
     import pandas as pd
 
     if len(rows_pdf) == 0:
-        return pd.DataFrame(
-            {c: [] for c in ("vec_id", "g", "embedding", "n2")}
-        )
+        out = rows_pdf[["vec_id", "embedding", "n2"]].copy()
+        out.insert(1, "g", pd.Series(dtype="int64"))
+        return out
     out = rows_pdf[["vec_id", "embedding", "n2"]].copy()
     out.insert(1, "g", _argmax_centroid(rows_pdf, cand_pdf))
     return out
@@ -914,9 +923,10 @@ def _assign_group(rows_pdf, cand_pdf):
     import pandas as pd
 
     if len(rows_pdf) == 0:
-        return pd.DataFrame(
-            {c: [] for c in ("vec_id", "c_label", "embedding", "n2")}
-        )
+        # typed empty frame — see _route_group's empty-rows note
+        out = rows_pdf[["vec_id", "embedding", "n2"]].copy()
+        out.insert(1, "c_label", pd.Series(dtype="int64"))
+        return out
     out = rows_pdf[["vec_id", "embedding", "n2"]].copy()
     if len(cand_pdf) == 0:
         out.insert(1, "c_label", rows_pdf["g"].to_numpy())

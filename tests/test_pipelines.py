@@ -691,6 +691,63 @@ def test_semdedup_group_dropped_fold_identity(spark):
     assert not bad, bad[:3]
 
 
+def test_routed_kernel_empty_group_serializes():
+    """r16 regression: a cogroup bucket holding only CANDIDATE rows
+    (reachable whenever the session's shuffle width exceeds the kernel
+    bucket width — vanilla's 200 partitions vs the engine's 32) calls
+    the routed kernels with an EMPTY rows frame. The empty output must
+    keep Arrow-convertible dtypes for the declared schema: the old
+    ``pd.DataFrame({col: []})`` construction made every column float64
+    and pyarrow cannot convert empty float64 to array<float>
+    (NumPyConverter error — crashed the sf1 vanilla bench run)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from gazelle_plugin_spark.plans.similarity_queries import (
+        _assign_group,
+        _route_group,
+    )
+
+    # the frames exactly as the Arrow serializer delivers an empty
+    # rows-side batch: typed scalars, object-dtype list column
+    empty_rows = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "g": pd.Series(dtype="int64"),
+            "embedding": pd.Series(dtype="object"),
+            "n2": pd.Series(dtype="float64"),
+        }
+    )
+    cand = pd.DataFrame(
+        {"c_label": [3], "ce": [np.ones(4, dtype=np.float32)]}
+    )
+    route_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("g", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("n2", pa.float64()),
+        ]
+    )
+    assign_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("c_label", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("n2", pa.float64()),
+        ]
+    )
+    out_r = _route_group(empty_rows[["vec_id", "embedding", "n2"]], cand)
+    out_a = _assign_group(empty_rows, cand)
+    # empty CAND side must also serialize (the fallback branch)
+    out_a2 = _assign_group(empty_rows, cand.iloc[:0])
+    for out, schema in ((out_r, route_schema), (out_a, assign_schema), (out_a2, assign_schema)):
+        assert list(out.columns) == schema.names
+        for name, typ in zip(schema.names, schema.types):
+            pa.Array.from_pandas(out[name], type=typ)  # must not raise
+
+
 def test_round6_signed_matches_jvm(spark):
     """:func:`_round6_int64_signed` (the SIGNED cosine-rounding twin of
     ``_round8_int64``) equals the live JVM's ``F.round(x, 6)`` on every
